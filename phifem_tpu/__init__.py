@@ -1,0 +1,44 @@
+"""phifem_tpu — a TPU-native phi-FEM (immersed-boundary FEM) framework.
+
+Re-design of the capabilities of the reference PhiFEM/phiFEM package
+(pure-Python layer over dolfinx/PETSc) as a standalone JAX/XLA/Pallas stack:
+structured background grids, vectorized level-set tagging, autodiff element
+kernels, matrix-free preconditioned Krylov solvers, and SPMD sharding over
+TPU meshes.
+
+Double precision is enabled by default (the reference runs float64
+throughout via PETSc); set ``PHIFEM_X64=0`` before import to stay in
+float32.
+"""
+
+import os as _os
+
+if _os.environ.get("PHIFEM_X64", "1") == "1":
+    from jax import config as _config
+
+    _config.update("jax_enable_x64", True)
+
+from .grid import CellType, Grid
+from .elements import dg0_element, lagrange_element
+from .spaces import Function, Space, interpolate
+from .tagging import EntityTags, TagsMeasures, compute_tags_measures, tag_cells, tag_facets
+from .measures import BoundaryMeasure, FacetSideList
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CellType",
+    "Grid",
+    "Space",
+    "Function",
+    "interpolate",
+    "EntityTags",
+    "TagsMeasures",
+    "compute_tags_measures",
+    "tag_cells",
+    "tag_facets",
+    "BoundaryMeasure",
+    "FacetSideList",
+    "lagrange_element",
+    "dg0_element",
+]

@@ -1,0 +1,14 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Must set platform/XLA flags before jax initializes (mirrors the multi-device
+testing recipe from SURVEY.md section 4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
