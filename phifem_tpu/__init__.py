@@ -13,10 +13,20 @@ float32.
 
 import os as _os
 
-if _os.environ.get("PHIFEM_X64", "1") == "1":
-    from jax import config as _config
+from jax import config as _config
 
+if _os.environ.get("PHIFEM_X64", "1") == "1":
     _config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: assembly/solver kernels are identical
+# across runs, so cold-start cost collapses after the first session.
+if _os.environ.get("PHIFEM_CACHE", "1") == "1":
+    _cache_dir = _os.environ.get(
+        "PHIFEM_CACHE_DIR", _os.path.expanduser("~/.cache/phifem_tpu_xla")
+    )
+    _config.update("jax_compilation_cache_dir", _cache_dir)
+    _config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 from .grid import CellType, Grid
 from .elements import dg0_element, lagrange_element

@@ -1,0 +1,26 @@
+"""phi-FEM schemes (the reference's "model zoo", SURVEY.md section 2d).
+
+Each scheme packages the variational terms its reference demo writes in UFL
+(the reference keeps schemes in demo scripts, ``ROADMAP.md:16`` notes the
+missing abstraction layer — we provide it):
+
+* S1 :class:`WeakDirichletPoisson`   (demo/weak-dirichlet/flower/main.py)
+* S2 :class:`StrongDirichletPoisson` (demo/strong-dirichlet/flower/main.py)
+* S3 :class:`NeumannPoisson`         (demo/neumann/square/main.py)
+* S4 :class:`RobinPoisson`           (demo/robin/square/main.py)
+* S5 :class:`InterfaceElasticity`    (demo/interface-elasticity/main.py)
+"""
+
+from .weak_dirichlet import WeakDirichletPoisson
+from .strong_dirichlet import StrongDirichletPoisson
+from .neumann import NeumannPoisson
+from .robin import RobinPoisson
+from .interface_elasticity import InterfaceElasticity
+
+__all__ = [
+    "WeakDirichletPoisson",
+    "StrongDirichletPoisson",
+    "NeumannPoisson",
+    "RobinPoisson",
+    "InterfaceElasticity",
+]

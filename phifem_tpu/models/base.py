@@ -1,0 +1,124 @@
+"""Shared scheme machinery: setup of tags/measures, error norms, solve."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..assembly import CellTerm, Operator, System, assemble_cellwise, assemble_scalar
+from ..grid import Grid
+from ..measures import FacetSideList
+from ..solvers import SolveResult, solve
+from ..spaces import Function, Space, interpolate
+from ..tagging import TagsMeasures, compute_tags_measures
+
+Array = jnp.ndarray
+LevelSetLike = Union[Callable, Function]
+
+
+@dataclasses.dataclass
+class SchemeBase:
+    """Common state for the five phi-FEM schemes.
+
+    ``mode``: "bg" solves on the background grid with one-sided boundary
+    measures (reference box_mode=True); "sub" uses the submesh exterior
+    measure (box_mode=False).  Both reference demo CLI modes are supported
+    (``demo/weak-dirichlet/flower/main.py:17-29``).
+    """
+
+    grid: Grid
+    mode: str = "bg"
+    detection_degree: int = 1
+    single_layer_cut: bool = False
+    pen_coef: float = 1.0
+    stab_coef: float = 1.0
+
+    def tag(self, detection_levelset: LevelSetLike) -> TagsMeasures:
+        """Tag the grid; dense parent-grid tags drive term regions in both
+        modes (the submesh is an active-cell view of the same grid)."""
+        res = compute_tags_measures(
+            self.grid,
+            detection_levelset,
+            self.detection_degree,
+            box_mode=True,
+            single_layer_cut=self.single_layer_cut,
+        )
+        self.tags = res
+        self.cell_tags = res.cells_tags.values
+        self.facet_tags = res.facets_tags.values
+        if self.mode == "sub":
+            from ..tagging import _build_submesh
+
+            self.submesh = _build_submesh(self.grid, self.cell_tags, self.facet_tags)
+        else:
+            self.submesh = None
+        return res
+
+    def boundary_measure(self) -> FacetSideList:
+        """The scheme's ds on Gamma_h: one-sided id 100 in bg mode, submesh
+        exterior in sub mode (reference main.py `ds = ds_bdy(100)` vs
+        `ufl.Measure("ds", domain=submesh)`)."""
+        if self.mode == "bg":
+            return self.tags.boundaries_measure(100)
+        return self.submesh.exterior
+
+    # ------------------------------------------------------------- errors
+    def l2_h1_errors(
+        self,
+        uh: Function,
+        exact: Callable,
+        region: Tuple[int, ...] = (1, 2),
+        ref_degree: Optional[int] = None,
+        vector: bool = False,
+    ) -> Dict[str, float]:
+        """Relative L2 and H1/H10 errors vs an analytic solution, computed
+        like the reference demos: interpolate both into a degree+2 reference
+        space, assemble DG0-local error fields, reduce
+        (``demo/neumann/square/main.py:206-249``)."""
+        g = self.grid
+        deg = ref_degree or (uh.space.degree + 2)
+        vs = uh.space.value_shape
+        ref_space = Space.lagrange(g, deg, vs)
+        u_ref = interpolate(uh, ref_space)
+        uex_ref = interpolate(exact, ref_space)
+        err = Function(ref_space, uex_ref.data - u_ref.data)
+
+        def sq(v):
+            return jnp.sum(v * v)
+
+        l2_num = assemble_scalar(
+            g,
+            cell_terms=[
+                (CellTerm(lambda d, x, ctx: sq(d["e"].val), region, degree=2 * deg), {"e": err})
+            ],
+            cell_tags=self.cell_tags,
+        )
+        l2_den = assemble_scalar(
+            g,
+            cell_terms=[
+                (CellTerm(lambda d, x, ctx: sq(d["u"].val), region, degree=2 * deg), {"u": uex_ref})
+            ],
+            cell_tags=self.cell_tags,
+        )
+        h1_num = assemble_scalar(
+            g,
+            cell_terms=[
+                (CellTerm(lambda d, x, ctx: sq(d["e"].grad), region, degree=2 * deg), {"e": err})
+            ],
+            cell_tags=self.cell_tags,
+        )
+        h1_den = assemble_scalar(
+            g,
+            cell_terms=[
+                (CellTerm(lambda d, x, ctx: sq(d["u"].grad), region, degree=2 * deg), {"u": uex_ref})
+            ],
+            cell_tags=self.cell_tags,
+        )
+        return {
+            "l2": float(jnp.sqrt(l2_num / l2_den)),
+            "h10": float(jnp.sqrt(h1_num / h1_den)),
+            "h1": float(jnp.sqrt((l2_num + h1_num) / (l2_den + h1_den))),
+        }

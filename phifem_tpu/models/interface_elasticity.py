@@ -1,0 +1,247 @@
+"""S5 — two-material linear elasticity with an immersed interface.
+
+Scheme of reference ``demo/interface-elasticity/main.py:145-277``:
+  div sigma_i(u_i) = f on each side of the interface {phi = 0}, with
+  E_in/E_out contrast, continuity of displacement and traction imposed by
+  phi-weighted penalties on cut cells; exact Dirichlet BC on the outer box
+  edges.  5-field mixed space: u_in, u_out (vector P1), y_in, y_out
+  (tensor P1 fluxes), p (vector P1 auxiliary).
+
+Distinctive pieces (reference line refs in methods below):
+  * contrast-weighted flux penalties with coef_in/out = (E_i/(E_in+E_out))^2
+  * two one-sided boundary terms d_bdry(100) + d_bdry(101)
+  * real Dirichlet BC on the mixed u_in block with lifting
+  * solution recombination on cut cells (average of in/out halves)
+  * convergence loop with uniform refinement + slope fit
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assembly import (
+    BoundaryTerm,
+    CellTerm,
+    FacetTerm,
+    System,
+    assemble_operator,
+    assemble_vector,
+)
+from ..solvers import DirichletBC, SolveResult, solve
+from ..spaces import Function, Space, boundary_dof_mask, interpolate
+from .base import LevelSetLike, SchemeBase
+
+
+def lame(E: float, nu: float):
+    """(lambda, mu) from Young modulus / Poisson ratio (reference
+    ``demo/interface-elasticity/data.py:4-10``)."""
+    lmbda = E * nu / (1.0 + nu) / (1.0 - 2.0 * nu)
+    mu = E / 2.0 / (1.0 + nu)
+    return lmbda, mu
+
+
+def _eps(G):
+    return 0.5 * (G + G.T)
+
+
+def _sigma(G, lmbda, mu):
+    """Stress from a displacement gradient G (2,2)."""
+    return lmbda * jnp.trace(G) * jnp.eye(2) + 2.0 * mu * _eps(G)
+
+
+def _div_tensor(t):
+    """div of a tensor FieldEval: (div y)_i = d_j y_ij."""
+    return jnp.einsum("ijj->i", t.grad)
+
+
+def dof_mask_from_cells(space: Space, cells: np.ndarray) -> jnp.ndarray:
+    """Boolean mask of scalar DoFs touched by ``cells`` (replaces
+    ``locate_dofs_topological`` over tagged cells, reference
+    ``demo/interface-elasticity/main.py:300-315``)."""
+    mask = jnp.zeros(space.num_scalar_dofs, bool)
+    dofs = space.cell_dofs[jnp.asarray(cells, jnp.int32)]
+    return mask.at[dofs.reshape(-1)].set(True)
+
+
+@dataclasses.dataclass
+class InterfaceElasticity(SchemeBase):
+    primal_degree: int = 1
+    flux_degree: int = 1
+    auxiliary_degree: int = 1
+    levelset_degree: int = 1
+    E_in: float = 1.0
+    nu_in: float = 0.3
+    E_out: float = 0.001
+    nu_out: float = 0.3
+
+    def setup(
+        self,
+        levelset: LevelSetLike,
+        f: Union[Callable, Function],
+        u_dbc: Union[Callable, Function],
+    ):
+        g = self.grid
+        self.tag(levelset)
+        U = Space.lagrange(g, self.primal_degree, (2,))
+        T = Space.lagrange(g, self.flux_degree, (2, 2))
+        P = Space.lagrange(g, self.auxiliary_degree, (2,))
+        Vphi = Space.lagrange(g, self.levelset_degree)
+        self.U, self.T, self.P = U, T, P
+        self.system = System(
+            {"u_in": U, "u_out": U, "y_in": T, "y_out": T, "p": P}
+        )
+        self.phi_h = levelset if isinstance(levelset, Function) else interpolate(levelset, Vphi)
+        self.f = f
+        self.lmbda_in, self.mu_in = lame(self.E_in, self.nu_in)
+        self.lmbda_out, self.mu_out = lame(self.E_out, self.nu_out)
+        # Dirichlet BC on the u_in block over the outer box edges
+        # (reference main.py:158-177)
+        self.u_dbc = u_dbc if isinstance(u_dbc, Function) else interpolate(u_dbc, U)
+        bmask = boundary_dof_mask(U)
+        self.bcs = (
+            DirichletBC("u_in", bmask[:, None], self.u_dbc.data),
+        )
+        return self
+
+    def assemble(self):
+        g = self.grid
+        pen, stab = self.pen_coef, self.stab_coef
+        li, mi = self.lmbda_in, self.mu_in
+        lo, mo = self.lmbda_out, self.mu_out
+        coef_in = (self.E_in / (self.E_in + self.E_out)) ** 2
+        coef_out = (self.E_out / (self.E_in + self.E_out)) ** 2
+        qdeg = 2 * (self.flux_degree + self.levelset_degree) + 2
+
+        def stiff_in(u, v, d, x, ctx):
+            return jnp.sum(_sigma(u["u_in"].grad, li, mi) * _eps(v["u_in"].grad))
+
+        def stiff_out(u, v, d, x, ctx):
+            return jnp.sum(_sigma(u["u_out"].grad, lo, mo) * _eps(v["u_out"].grad))
+
+        def penalty(u, v, d, x, ctx):
+            h = ctx.h
+            gphi = d["phi"].grad
+            t1 = coef_out * jnp.sum(
+                (u["y_in"].val + _sigma(u["u_in"].grad, li, mi))
+                * (v["y_in"].val + _sigma(v["u_in"].grad, li, mi))
+            )
+            t2 = coef_in * jnp.sum(
+                (u["y_out"].val + _sigma(u["u_out"].grad, lo, mo))
+                * (v["y_out"].val + _sigma(v["u_out"].grad, lo, mo))
+            )
+            ju = (u["y_in"].val - u["y_out"].val) @ gphi
+            jv = (v["y_in"].val - v["y_out"].val) @ gphi
+            t3 = jnp.dot(ju, jv) / h**2
+            su = u["u_in"].val - u["u_out"].val + u["p"].val * d["phi"].val / h
+            sv = v["u_in"].val - v["u_out"].val + v["p"].val * d["phi"].val / h
+            t4 = jnp.dot(su, sv) / h**2
+            return pen * (t1 + t2 + t3 + t4)
+
+        def cell_stab(u, v, d, x, ctx):
+            return (
+                stab
+                * ctx.h**2
+                * (
+                    jnp.dot(_div_tensor(u["y_in"]), _div_tensor(v["y_in"]))
+                    + jnp.dot(_div_tensor(u["y_out"]), _div_tensor(v["y_out"]))
+                )
+            )
+
+        def ghost_in(u0, u1, v0, v1, d0, d1, x, n, ctx):
+            ju = (_sigma(u0["u_in"].grad, li, mi) - _sigma(u1["u_in"].grad, li, mi)) @ n
+            jv = (_sigma(v0["u_in"].grad, li, mi) - _sigma(v1["u_in"].grad, li, mi)) @ n
+            return stab * ctx.h * jnp.dot(ju, jv)
+
+        def ghost_out(u0, u1, v0, v1, d0, d1, x, n, ctx):
+            ju = (_sigma(u0["u_out"].grad, lo, mo) - _sigma(u1["u_out"].grad, lo, mo)) @ n
+            jv = (_sigma(v0["u_out"].grad, lo, mo) - _sigma(v1["u_out"].grad, lo, mo)) @ n
+            return stab * ctx.h * jnp.dot(ju, jv)
+
+        def bdry_in(u, v, d, x, n, ctx):
+            return jnp.dot(u["y_in"].val @ n, v["u_in"].val)
+
+        def bdry_out(u, v, d, x, n, ctx):
+            return jnp.dot(u["y_out"].val @ n, v["u_out"].val)
+
+        m100 = self.tags.boundaries_measure(100)
+        m101 = self.tags.boundaries_measure(101)
+        data = {"phi": self.phi_h}
+        self.op = assemble_operator(
+            self.system,
+            g,
+            cell_terms=[
+                (CellTerm(stiff_in, (1, 2), degree=2 * self.primal_degree, uniform=True), {}),
+                (CellTerm(stiff_out, (2, 3), degree=2 * self.primal_degree, uniform=True), {}),
+                (CellTerm(penalty, (2,), degree=qdeg), data),
+                (CellTerm(cell_stab, (2,), degree=2 * self.flux_degree, uniform=True), {}),
+            ],
+            facet_terms=[
+                (FacetTerm(ghost_in, region=(3,), npts=2), {}),
+                (FacetTerm(ghost_out, region=(4,), npts=2), {}),
+            ],
+            boundary_terms=[
+                (BoundaryTerm(bdry_in, m100, npts=2), {}),
+                (BoundaryTerm(bdry_out, m101, npts=2), {}),
+            ],
+            cell_tags=self.cell_tags,
+            facet_tags=self.facet_tags,
+        )
+
+        def rhs_in(v, d, x, ctx):
+            return jnp.dot(d["f"].val, v["u_in"].val)
+
+        def rhs_out(v, d, x, ctx):
+            return jnp.dot(d["f"].val, v["u_out"].val)
+
+        def rhs_stab(v, d, x, ctx):
+            return (
+                stab
+                * ctx.h**2
+                * (
+                    jnp.dot(d["f"].val, _div_tensor(v["y_in"]))
+                    + jnp.dot(d["f"].val, _div_tensor(v["y_out"]))
+                )
+            )
+
+        fdata = {"f": self.f}
+        self.b = assemble_vector(
+            self.system,
+            g,
+            cell_terms=[
+                (CellTerm(rhs_in, (1, 2), degree=qdeg), fdata),
+                (CellTerm(rhs_out, (2, 3), degree=qdeg), fdata),
+                (CellTerm(rhs_stab, (2,), degree=qdeg), fdata),
+            ],
+            cell_tags=self.cell_tags,
+        )
+        return self
+
+    def solve(self, method: str = "bicgstab", tol: float = 1e-10, **kw) -> SolveResult:
+        res = solve(self.op, self.b, bcs=self.bcs, method=method, tol=tol, **kw)
+        self.result = res
+        u_in = res.x["u_in"]
+        u_out = res.x["u_out"]
+        # Recombination (reference main.py:296-323): halve on cut cells,
+        # zero strictly-opposite-side DoFs, add.
+        ct = np.asarray(self.cell_tags)
+        cut = np.where(ct == 2)[0]
+        interior = np.where(ct == 1)[0]
+        exterior = np.where(ct == 3)[0]
+        m_cut = dof_mask_from_cells(self.U, cut)
+        m_int = dof_mask_from_cells(self.U, interior)
+        m_ext = dof_mask_from_cells(self.U, exterior)
+        rm_in = jnp.logical_and(m_ext, jnp.logical_not(m_cut))
+        rm_out = jnp.logical_and(m_int, jnp.logical_not(m_cut))
+        u_in = jnp.where(m_cut[:, None], u_in / 2.0, u_in)
+        u_out = jnp.where(m_cut[:, None], u_out / 2.0, u_out)
+        u_in = jnp.where(rm_in[:, None], 0.0, u_in)
+        u_out = jnp.where(rm_out[:, None], 0.0, u_out)
+        self.u_in_h = Function(self.U, res.x["u_in"])
+        self.u_out_h = Function(self.U, res.x["u_out"])
+        self.u_h = Function(self.U, u_in + u_out)
+        return res

@@ -1,0 +1,143 @@
+"""S3 — Neumann phi-FEM (mixed flux formulation).
+
+Scheme of reference ``demo/neumann/square/main.py:112-158``:
+  -Delta u + u = f in Omega,  du/dn = g on Gamma
+Fields: u (P1), y ~ -grad u (P1 vector), p (DG0 auxiliary):
+
+  a = int_{dx(1,2)} (grad u . grad v + u v)
+    + int_{Gamma_h} (y . n) v                                        (ds)
+    + pen int_{dx(2)} [ (y + grad u).(z + grad v)
+                      + (div y + u)(div z + v)
+                      + h^-2 (y.grad phi + h^-1 p phi)(z.grad phi + h^-1 q phi) ]
+    + stab int_{dS(3)} avg(h) [grad u . n][grad v . n]
+
+  L = int_{dx(1,2)} f v
+    + pen int_{dx(2)} [ -h^-2 u_N |grad phi| (z.grad phi + h^-1 q phi)
+                      + f (div z + v) ]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Union
+
+import jax.numpy as jnp
+
+from ..assembly import (
+    BoundaryTerm,
+    CellTerm,
+    FacetTerm,
+    System,
+    assemble_operator,
+    assemble_vector,
+)
+from ..solvers import SolveResult, solve
+from ..spaces import Function, Space, interpolate
+from .base import LevelSetLike, SchemeBase
+
+
+def _div(field_eval):
+    """Divergence of a vector FieldEval: trace of its (k,2) gradient."""
+    return jnp.trace(field_eval.grad)
+
+
+@dataclasses.dataclass
+class NeumannPoisson(SchemeBase):
+    primal_degree: int = 1
+    vector_degree: int = 1
+    auxiliary_degree: int = 0
+    levelset_degree: int = 2
+
+    def setup(
+        self,
+        levelset: LevelSetLike,
+        f: Union[Callable, Function],
+        u_N: Union[Callable, Function],
+        detection_levelset: Optional[LevelSetLike] = None,
+    ):
+        g = self.grid
+        self.tag(detection_levelset if detection_levelset is not None else levelset)
+        V = Space.lagrange(g, self.primal_degree)
+        Y = Space.lagrange(g, self.vector_degree, (2,))
+        Q = Space.dg0(g)
+        Vphi = Space.lagrange(g, self.levelset_degree)
+        self.V, self.Y, self.Q, self.Vphi = V, Y, Q, Vphi
+        self.system = System({"u": V, "y": Y, "p": Q})
+        self.phi_h = levelset if isinstance(levelset, Function) else interpolate(levelset, Vphi)
+        self.f_h = f if isinstance(f, Function) else interpolate(f, V)
+        self.u_N = u_N if isinstance(u_N, Function) else interpolate(u_N, V)
+        return self
+
+    def _flux_factor(self, w, d, ctx):
+        """z . grad phi + h^-1 q phi (the Neumann penalty flux factor)."""
+        phi = d["phi"]
+        return jnp.dot(w["y"].val, phi.grad) + w["p"].val * phi.val / ctx.h
+
+    def assemble(self):
+        g = self.grid
+        pen, stab = self.pen_coef, self.stab_coef
+        qdeg = 2 * (self.vector_degree + self.levelset_degree) + 2
+
+        def bulk(u, v, d, x, ctx):
+            return jnp.dot(u["u"].grad, v["u"].grad) + u["u"].val * v["u"].val
+
+        def boundary_flux(u, v, d, x, n, ctx):
+            return jnp.dot(u["y"].val, n) * v["u"].val
+
+        def penalty(u, v, d, x, ctx):
+            h = ctx.h
+            t1 = jnp.dot(u["y"].val + u["u"].grad, v["y"].val + v["u"].grad)
+            t2 = (_div(u["y"]) + u["u"].val) * (_div(v["y"]) + v["u"].val)
+            t3 = self._flux_factor(u, d, ctx) * self._flux_factor(v, d, ctx) / h**2
+            return pen * (t1 + t2 + t3)
+
+        def ghost(u0, u1, v0, v1, d0, d1, x, n, ctx):
+            ju = jnp.dot(u0["u"].grad - u1["u"].grad, n)
+            jv = jnp.dot(v0["u"].grad - v1["u"].grad, n)
+            return stab * ctx.h * ju * jv
+
+        ds = self.boundary_measure()
+        data = {"phi": self.phi_h}
+        self.op = assemble_operator(
+            self.system,
+            g,
+            cell_terms=[
+                (CellTerm(bulk, (1, 2), degree=2 * self.primal_degree, uniform=True), {}),
+                (CellTerm(penalty, (2,), degree=qdeg), data),
+            ],
+            facet_terms=[(FacetTerm(ghost, region=(3,), npts=2), {})],
+            boundary_terms=[(BoundaryTerm(boundary_flux, ds, npts=3), {})],
+            cell_tags=self.cell_tags,
+            facet_tags=self.facet_tags,
+        )
+
+        def rhs_bulk(v, d, x, ctx):
+            return d["f"].val * v["u"].val
+
+        def rhs_pen(v, d, x, ctx):
+            h = ctx.h
+            ngphi = jnp.sqrt(jnp.dot(d["phi"].grad, d["phi"].grad))
+            t1 = -d["uN"].val * ngphi * self._flux_factor(v, d, ctx) / h**2
+            t2 = d["f"].val * (_div(v["y"]) + v["u"].val)
+            return pen * (t1 + t2)
+
+        self.b = assemble_vector(
+            self.system,
+            g,
+            cell_terms=[
+                (CellTerm(rhs_bulk, (1, 2), degree=qdeg), {"f": self.f_h}),
+                (
+                    CellTerm(rhs_pen, (2,), degree=qdeg),
+                    {"f": self.f_h, "uN": self.u_N, "phi": self.phi_h},
+                ),
+            ],
+            cell_tags=self.cell_tags,
+        )
+        return self
+
+    def solve(self, method: str = "bicgstab", tol: float = 1e-10, **kw) -> SolveResult:
+        res = solve(self.op, self.b, method=method, tol=tol, **kw)
+        self.result = res
+        self.u_h = Function(self.V, res.x["u"])
+        self.y_h = Function(self.Y, res.x["y"])
+        return res

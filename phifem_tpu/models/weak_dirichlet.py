@@ -1,0 +1,150 @@
+"""S1 — weak (dual-penalty) Dirichlet phi-FEM for the Poisson problem.
+
+Scheme of reference ``demo/weak-dirichlet/flower/main.py:102-154``:
+  -Delta u = f in Omega = {phi < 0},  u = u_D on Gamma = {phi = 0}
+Mixed P1 x P1 fields (u, auxiliary p); bilinear form:
+
+  a(u,p; v,q) = int_{dx(1,2)} grad u . grad v
+              - int_{Gamma_h} (grad u . n) v                         (ds)
+              + pen/h^2 int_{dx(2)} (u - phi p / h)(v - phi q / h)
+              + stab h^2 int_{dx(2)} (Delta u)(Delta v)
+              + stab int_{dS(2,3)} avg(h) [grad u . n][grad v . n]
+
+  L(v,q)      = int_{dx(1,2)} f v
+              + pen/h^2 int_{dx(2)} u_D (v - phi q / h)
+              - stab h^2 int_{dx(2)} f (Delta v)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Union
+
+import jax.numpy as jnp
+
+from ..assembly import (
+    BoundaryTerm,
+    CellTerm,
+    FacetTerm,
+    System,
+    assemble_operator,
+    assemble_vector,
+)
+from ..solvers import SolveResult, solve
+from ..spaces import Function, Space, interpolate
+from .base import LevelSetLike, SchemeBase
+
+
+@dataclasses.dataclass
+class WeakDirichletPoisson(SchemeBase):
+    """phi-FEM weak-Dirichlet Poisson solver."""
+
+    primal_degree: int = 1
+    levelset_degree: int = 1
+
+    def setup(
+        self,
+        levelset: LevelSetLike,
+        f: Union[Callable, Function],
+        u_D: Union[Callable, Function, None] = None,
+        detection_levelset: Optional[LevelSetLike] = None,
+    ):
+        """``levelset``: smooth phi used in the formulation;
+        ``detection_levelset``: optional non-smooth phi for tagging only
+        (the flower demo's split, ``demo/weak-dirichlet/flower/data.py:26,56``)."""
+        g = self.grid
+        self.tag(detection_levelset if detection_levelset is not None else levelset)
+
+        V = Space.lagrange(g, self.primal_degree)
+        Vphi = Space.lagrange(g, self.levelset_degree)
+        self.V, self.Vphi = V, Vphi
+        self.system = System({"u": V, "p": V})
+
+        self.phi_h = levelset if isinstance(levelset, Function) else interpolate(levelset, Vphi)
+        self.f_h = f if isinstance(f, Function) else interpolate(f, V)
+        if u_D is None:
+            u_D = lambda x: jnp.zeros(x.shape[:-1])
+        self.u_D = u_D if isinstance(u_D, Function) else interpolate(u_D, V)
+        return self
+
+    def assemble(self):
+        g = self.grid
+        pen, stab = self.pen_coef, self.stab_coef
+        qdeg = 2 * (self.primal_degree + self.levelset_degree)
+
+        def stiffness(u, v, d, x, ctx):
+            return jnp.dot(u["u"].grad, v["u"].grad)
+
+        def boundary_flux(u, v, d, x, n, ctx):
+            return -jnp.dot(u["u"].grad, n) * v["u"].val
+
+        def penalty(u, v, d, x, ctx):
+            h = ctx.h
+            phi = d["phi"].val
+            uu = u["u"].val - phi * u["p"].val / h
+            vv = v["u"].val - phi * v["p"].val / h
+            return pen / h**2 * uu * vv
+
+        def cell_stab(u, v, d, x, ctx):
+            return stab * ctx.h**2 * u["u"].lap * v["u"].lap
+
+        def ghost(u0, u1, v0, v1, d0, d1, x, n, ctx):
+            ju = jnp.dot(u0["u"].grad - u1["u"].grad, n)
+            jv = jnp.dot(v0["u"].grad - v1["u"].grad, n)
+            return stab * ctx.h * ju * jv
+
+        ds = self.boundary_measure()
+        self.op = assemble_operator(
+            self.system,
+            g,
+            cell_terms=[
+                (CellTerm(stiffness, (1, 2), degree=2 * self.primal_degree, uniform=True), {}),
+                (CellTerm(penalty, (2,), degree=qdeg), {"phi": self.phi_h}),
+                (CellTerm(cell_stab, (2,), degree=2 * self.primal_degree, uniform=True), {}),
+            ],
+            facet_terms=[
+                (FacetTerm(ghost, region=(2, 3), npts=max(2, self.primal_degree)), {})
+            ],
+            boundary_terms=[
+                (BoundaryTerm(boundary_flux, ds, npts=self.primal_degree + 1), {})
+            ],
+            cell_tags=self.cell_tags,
+            facet_tags=self.facet_tags,
+        )
+
+        def rhs_bulk(v, d, x, ctx):
+            return d["f"].val * v["u"].val
+
+        def rhs_penalty(v, d, x, ctx):
+            h = ctx.h
+            return (
+                pen
+                / h**2
+                * d["uD"].val
+                * (v["u"].val - d["phi"].val * v["p"].val / h)
+            )
+
+        def rhs_stab(v, d, x, ctx):
+            return -stab * ctx.h**2 * d["f"].val * v["u"].lap
+
+        self.b = assemble_vector(
+            self.system,
+            g,
+            cell_terms=[
+                (CellTerm(rhs_bulk, (1, 2), degree=qdeg), {"f": self.f_h}),
+                (
+                    CellTerm(rhs_penalty, (2,), degree=qdeg),
+                    {"f": self.f_h, "uD": self.u_D, "phi": self.phi_h},
+                ),
+                (CellTerm(rhs_stab, (2,), degree=qdeg), {"f": self.f_h}),
+            ],
+            cell_tags=self.cell_tags,
+        )
+        return self
+
+    def solve(self, method: str = "bicgstab", tol: float = 1e-10, **kw) -> SolveResult:
+        res = solve(self.op, self.b, method=method, tol=tol, **kw)
+        self.result = res
+        self.u_h = Function(self.V, res.x["u"])
+        self.p_h = Function(self.V, res.x["p"])
+        return res

@@ -1,0 +1,198 @@
+"""Linear solvers: matrix-free preconditioned Krylov + BC handling.
+
+Replaces the PETSc KSP ``preonly`` + MUMPS LU stack of every reference demo
+(``demo/weak-dirichlet/flower/main.py:162-182`` and equivalents), including
+the MUMPS null-pivot configuration (icntl 24=1/25=0) the reference needs
+because box-mode operators are singular on the exterior of Omega_h.  Here
+the singular exterior is handled the TPU way: DoFs with a zero diagonal
+(touched by no active term) get identity rows and a unit preconditioner
+entry, so Krylov iterations leave them at zero — no factorization anywhere.
+
+Solvers operate on pytrees (dicts of per-field DoF arrays), are jittable
+end-to-end, and use a Jacobi (inverse-diagonal) preconditioner extracted
+from the assembled element matrices.  phi-FEM operators with boundary flux
+terms are nonsymmetric, so the default is BiCGStab; CG is available for SPD
+cases.  A dense LU fallback supports small problems and tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .assembly import Operator, System
+
+Array = jnp.ndarray
+
+__all__ = ["DirichletBC", "masked_operator", "solve", "SolveResult"]
+
+
+def _float_dtype():
+    from jax import config
+
+    return jnp.float64 if config.jax_enable_x64 else jnp.float32
+
+
+def tree_dot(a, b) -> Array:
+    leaves = jax.tree.map(lambda x, y: jnp.vdot(x, y), a, b)
+    return jax.tree.reduce(jnp.add, leaves)
+
+
+def tree_axpy(alpha, x, y):
+    return jax.tree.map(lambda xi, yi: alpha * xi + yi, x, y)
+
+
+@dataclasses.dataclass(frozen=True)
+class DirichletBC:
+    """Strong Dirichlet condition on one field: boolean mask over scalar
+    DoFs (optionally per-component) + prescribed values.
+
+    Replaces ``dfx.fem.dirichletbc`` + ``apply_lifting`` + ``bc.set``
+    (reference ``demo/interface-elasticity/main.py:165-177, 274-277``).
+    """
+
+    field: str
+    mask: Array  # bool, shape = space.dof_shape (broadcastable)
+    values: Array  # same shape as the field's dof array
+
+
+def _apply_masks(x: Dict[str, Array], bcs, zero: bool) -> Dict[str, Array]:
+    out = dict(x)
+    for bc in bcs:
+        out[bc.field] = jnp.where(
+            bc.mask, jnp.zeros_like(out[bc.field]) if zero else bc.values, out[bc.field]
+        )
+    return out
+
+
+def masked_operator(
+    op: Operator, bcs: Tuple[DirichletBC, ...] = ()
+) -> Tuple[Callable, Dict[str, Array], Dict[str, Array]]:
+    """Wrap an operator with Dirichlet-BC row/column masking and
+    exterior-DoF identity rows.
+
+    Returns ``(matvec, diag, active)`` where ``matvec`` acts as the reduced
+    operator A_red (identity on constrained/inactive DoFs), ``diag`` is its
+    Jacobi diagonal, and ``active`` masks genuinely active DoFs.
+    """
+    diag = op.diagonal()
+    active = jax.tree.map(lambda d: d != 0.0, diag)
+    for bc in bcs:
+        active[bc.field] = jnp.logical_and(
+            active[bc.field], jnp.logical_not(bc.mask)
+        )
+
+    def matvec(x):
+        xa = jax.tree.map(lambda xi, m: jnp.where(m, xi, 0.0), x, active)
+        y = op.matvec(xa)
+        # identity on inactive/constrained dofs
+        return jax.tree.map(
+            lambda yi, xi, m: jnp.where(m, yi, xi), y, x, active
+        )
+
+    diag_red = jax.tree.map(lambda d, m: jnp.where(m, d, 1.0), diag, active)
+    return matvec, diag_red, active
+
+
+def lift_rhs(
+    op: Operator, b: Dict[str, Array], bcs: Tuple[DirichletBC, ...], active
+) -> Dict[str, Array]:
+    """Apply Dirichlet lifting: b <- b - A g on active DoFs, b|_bc = g,
+    b|_inactive = 0 (reference ``apply_lifting`` + ``bc.set``)."""
+    if bcs:
+        g = {
+            n: jnp.zeros_like(v) for n, v in b.items()
+        }
+        g = _apply_masks(g, bcs, zero=False)
+        Ag = op.matvec(g)
+        b = jax.tree.map(lambda bi, ai: bi - ai, b, Ag)
+        b = _apply_masks(b, bcs, zero=False)
+    b = jax.tree.map(lambda bi, m: jnp.where(m, bi, 0.0), b, active)
+    for bc in bcs:
+        b[bc.field] = jnp.where(bc.mask, bc.values, b[bc.field])
+    return b
+
+
+@dataclasses.dataclass
+class SolveResult:
+    x: Dict[str, Array]
+    residual: float
+    iterations: int
+    converged: bool
+
+
+def solve(
+    op: Operator,
+    b: Dict[str, Array],
+    bcs: Tuple[DirichletBC, ...] = (),
+    method: str = "bicgstab",
+    tol: float = 1e-10,
+    atol: float = 0.0,
+    maxiter: Optional[int] = None,
+    x0: Optional[Dict[str, Array]] = None,
+) -> SolveResult:
+    """Solve ``A x = b`` with Jacobi-preconditioned Krylov iterations (or a
+    dense LU fallback with ``method="dense"`` for small/tests)."""
+    matvec, diag, active = masked_operator(op, bcs)
+    b = lift_rhs(op, b, bcs, active)
+
+    if method == "dense":
+        return _dense_solve(op, b, bcs, active)
+
+    inv_diag = jax.tree.map(lambda d: 1.0 / d, diag)
+    M = lambda x: jax.tree.map(lambda xi, di: xi * di, x, inv_diag)
+
+    if maxiter is None:
+        maxiter = 25 * int(np.sqrt(op.system.num_dofs)) + 1000
+
+    if method == "cg":
+        x, info = jax.scipy.sparse.linalg.cg(
+            matvec, b, x0=x0, tol=tol, atol=atol, maxiter=maxiter, M=M
+        )
+    elif method == "bicgstab":
+        x, info = jax.scipy.sparse.linalg.bicgstab(
+            matvec, b, x0=x0, tol=tol, atol=atol, maxiter=maxiter, M=M
+        )
+    elif method == "gmres":
+        x, info = jax.scipy.sparse.linalg.gmres(
+            matvec, b, x0=x0, tol=tol, atol=atol, maxiter=maxiter, M=M,
+            restart=50, solve_method="batched",
+        )
+    else:
+        raise ValueError(f"Unknown method {method!r}.")
+
+    r = jax.tree.map(lambda bi, ai: bi - ai, b, matvec(x))
+    rnorm = float(jnp.sqrt(tree_dot(r, r)))
+    bnorm = float(jnp.sqrt(tree_dot(b, b)))
+    rel = rnorm / bnorm if bnorm > 0 else rnorm
+    return SolveResult(x=x, residual=rel, iterations=-1, converged=rel <= 10 * tol)
+
+
+def _dense_solve(op: Operator, b, bcs, active) -> SolveResult:
+    A = op.to_dense()
+    off = op.system.offsets()
+    n = op.system.num_dofs
+    act = np.zeros(n, bool)
+    bv = np.zeros(n)
+    for name, s in op.system.fields.items():
+        sl = slice(off[name], off[name] + s.num_dofs)
+        act[sl] = np.broadcast_to(
+            np.asarray(active[name]), s.dof_shape
+        ).reshape(-1)
+        bv[sl] = np.asarray(b[name]).reshape(-1)
+    A[~act, :] = 0.0
+    A[:, ~act] = 0.0
+    A[~act, ~act] = 1.0
+    # least-squares = minimum-norm on any numerically-null pivots, the
+    # analogue of the reference's MUMPS icntl 24/25 null-pivot handling
+    xv, *_ = np.linalg.lstsq(A, bv, rcond=None)
+    x = {}
+    for name, s in op.system.fields.items():
+        sl = slice(off[name], off[name] + s.num_dofs)
+        x[name] = jnp.asarray(xv[sl].reshape(s.dof_shape))
+    r = np.linalg.norm(A @ xv - bv) / max(np.linalg.norm(bv), 1e-300)
+    return SolveResult(x=x, residual=float(r), iterations=1, converged=True)

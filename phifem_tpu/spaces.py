@@ -268,6 +268,30 @@ class Function:
         return jnp.einsum("nlx,nl...->n...x", gphys, nodal)
 
 
+def locate_dofs(space: Space, predicate: Callable) -> Array:
+    """Boolean mask over scalar DoFs where ``predicate(x: (n,2)) -> bool``
+    holds at the DoF coordinate (replaces ``locate_dofs_topological`` /
+    geometrical, reference ``demo/interface-elasticity/main.py:173-176``,
+    N15)."""
+    return jnp.asarray(predicate(space.dof_coords), bool)
+
+
+def boundary_dof_mask(space: Space, tol: float = 1e-12) -> Array:
+    """Mask of scalar DoFs on the background-box boundary."""
+    g = space.grid
+    (x0, y0), (x1, y1) = g.bbox
+
+    def pred(x):
+        return (
+            (jnp.abs(x[:, 0] - x0) < tol)
+            | (jnp.abs(x[:, 0] - x1) < tol)
+            | (jnp.abs(x[:, 1] - y0) < tol)
+            | (jnp.abs(x[:, 1] - y1) < tol)
+        )
+
+    return locate_dofs(space, pred)
+
+
 def interpolate(
     f: Union[Callable, Function],
     space: Space,

@@ -1,0 +1,16 @@
+"""Auxiliary subsystems: I/O, config, profiling, debug checks."""
+
+from .io import write_vtu, write_xdmf, save_checkpoint, load_checkpoint
+from .config import SchemeConfig, load_config
+from .profiling import Timer, report_throughput
+
+__all__ = [
+    "write_vtu",
+    "write_xdmf",
+    "save_checkpoint",
+    "load_checkpoint",
+    "SchemeConfig",
+    "load_config",
+    "Timer",
+    "report_throughput",
+]

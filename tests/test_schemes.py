@@ -1,0 +1,215 @@
+"""End-to-end scheme tests: manufactured solutions on a circle levelset,
+checking the phi-FEM convergence rates the reference demos establish
+(S3/S4 print relative H1 errors; S5 fits L2/H10 slopes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import phifem_tpu as pf
+from phifem_tpu.models import (
+    InterfaceElasticity,
+    NeumannPoisson,
+    RobinPoisson,
+    StrongDirichletPoisson,
+    WeakDirichletPoisson,
+)
+
+BOX = ((-1.0, -1.0), (1.0, 1.0))
+R = 0.7
+
+
+def phi_circle(x):
+    return x[..., 0] ** 2 + x[..., 1] ** 2 - R**2
+
+
+def u_ex(x):
+    return jnp.sin(jnp.pi * x[..., 0]) * jnp.cos(jnp.pi * x[..., 1])
+
+
+def f_poisson(x):
+    return 2.0 * jnp.pi**2 * u_ex(x)
+
+
+def f_helmholtz(x):
+    return 2.0 * jnp.pi**2 * u_ex(x) + u_ex(x)
+
+
+def normal_derivative(x):
+    """du/dn with n = grad(phi)/|grad(phi)| (defined away from the origin)."""
+    g = jax.vmap(jax.grad(lambda p: u_ex(p)))(x)
+    gp = 2.0 * x
+    norm = jnp.maximum(jnp.linalg.norm(gp, axis=-1), 1e-12)
+    return jnp.sum(g * gp, axis=-1) / norm
+
+
+# smooth low-frequency manufactured solution for S1 (the dual-penalty
+# scheme converges at O(h^2) but with a large constant for oscillatory
+# data; an affine patch test below pins exactness)
+def u_mild(x):
+    return jnp.cos(x[..., 0]) * jnp.sin(x[..., 1])
+
+
+def f_mild(x):
+    return 2.0 * u_mild(x)
+
+
+def _weak_dirichlet_error(n, method="dense", uex=u_mild, f=f_mild):
+    g = pf.Grid(n, n, BOX, pf.CellType.triangle)
+    s = WeakDirichletPoisson(g, mode="bg")
+    s.setup(phi_circle, f, u_D=uex)
+    s.assemble()
+    res = s.solve(method=method, tol=1e-12)
+    assert res.converged, res.residual
+    return s.l2_h1_errors(s.u_h, uex)
+
+
+def test_weak_dirichlet_patch_exact():
+    """Affine solutions are reproduced to machine precision (stiffness,
+    boundary flux, penalty, u_D data path all exactly consistent)."""
+    uex = lambda x: 1.0 + 2.0 * x[..., 0] - x[..., 1]
+    fz = lambda x: jnp.zeros(x.shape[:-1])
+    e = _weak_dirichlet_error(10, uex=uex, f=fz)
+    assert e["l2"] < 1e-10 and e["h10"] < 1e-10, e
+
+
+def test_weak_dirichlet_convergence():
+    e1 = _weak_dirichlet_error(10)
+    e2 = _weak_dirichlet_error(20)
+    rate_l2 = np.log2(e1["l2"] / e2["l2"])
+    rate_h1 = np.log2(e1["h10"] / e2["h10"])
+    assert e2["l2"] < 0.05, (e1, e2)
+    assert rate_l2 > 1.5, (e1, e2)
+    assert rate_h1 > 0.7, (e1, e2)
+
+
+def test_weak_dirichlet_sub_mode_matches_bg():
+    ebg = _weak_dirichlet_error(12)
+    g = pf.Grid(12, 12, BOX, pf.CellType.triangle)
+    s = WeakDirichletPoisson(g, mode="sub")
+    s.setup(phi_circle, f_poisson, u_D=u_ex)
+    s.assemble()
+    s.solve(method="dense")
+    esub = s.l2_h1_errors(s.u_h, u_ex)
+    # bg vs sub solve the same discrete problem here (domain away from box)
+    assert np.isclose(esub["l2"], ebg["l2"], rtol=1e-8), (ebg, esub)
+
+
+def test_weak_dirichlet_bicgstab_matches_dense():
+    ed = _weak_dirichlet_error(10, method="dense")
+    ei = _weak_dirichlet_error(10, method="bicgstab")
+    assert np.isclose(ed["l2"], ei["l2"], rtol=1e-4), (ed, ei)
+
+
+def test_strong_dirichlet_convergence():
+    def w_ex(x):
+        return jnp.cos(x[..., 0] + 0.5 * x[..., 1])
+
+    def u_exact(x):
+        return phi_circle(x) * w_ex(x)
+
+    def f(x):
+        H = jax.vmap(jax.hessian(lambda p: phi_circle(p) * w_ex(p)))(x)
+        return -jnp.trace(H, axis1=-2, axis2=-1)
+
+    errs = []
+    for n in (10, 20):
+        g = pf.Grid(n, n, BOX, pf.CellType.triangle)
+        s = StrongDirichletPoisson(g, mode="bg")
+        s.setup(phi_circle, f)
+        s.assemble()
+        res = s.solve(method="dense")
+        errs.append(s.l2_h1_errors(s.u_h, u_exact))
+    rate = np.log2(errs[0]["l2"] / errs[1]["l2"])
+    assert errs[1]["l2"] < 0.05, errs
+    assert rate > 1.5, errs
+
+
+@pytest.mark.parametrize("cell_type", ["quadrilateral", "triangle"])
+def test_neumann_convergence(cell_type):
+    errs = []
+    for n in (10, 20):
+        g = pf.Grid(n, n, BOX, cell_type)
+        s = NeumannPoisson(g, mode="bg")
+        s.setup(phi_circle, f_helmholtz, normal_derivative)
+        s.assemble()
+        res = s.solve(method="dense")
+        errs.append(s.l2_h1_errors(s.u_h, u_ex))
+    assert errs[1]["h1"] < 0.2, errs
+    rate = np.log2(errs[0]["l2"] / errs[1]["l2"])
+    assert rate > 1.3, errs
+
+
+def test_robin_convergence():
+    alpha = 1.0
+
+    def robin_data(x):
+        return normal_derivative(x) + alpha * u_ex(x)
+
+    errs = []
+    for n in (10, 20):
+        g = pf.Grid(n, n, BOX, "triangle")
+        s = RobinPoisson(g, mode="bg", robin_coef=alpha)
+        s.setup(phi_circle, f_helmholtz, robin_data)
+        s.assemble()
+        res = s.solve(method="dense")
+        errs.append(s.l2_h1_errors(s.u_h, u_ex))
+    assert errs[1]["h1"] < 0.2, errs
+    rate = np.log2(errs[0]["l2"] / errs[1]["l2"])
+    assert rate > 1.3, errs
+
+
+# ---------------------------------------------------------------- S5
+E_IN, E_OUT = 1.0, 0.001
+
+
+def phi_iface(x):
+    return 1.0 - (x[..., 0] ** 2 + x[..., 1] ** 2)
+
+
+def exact_elastic(x):
+    # reference demo/interface-elasticity/data.py:43-48
+    r = jnp.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2)
+    val = (jnp.cos(r) - jnp.cos(1.0)) / E_IN
+    val = jnp.where(r < 1.0, val * (E_IN / E_OUT), val)
+    return jnp.stack([val, val], axis=-1)
+
+
+def source_elastic(x):
+    # f = -div sigma_in(cos_vec) / E_in via autodiff (reference main.py:147)
+    from phifem_tpu.models.interface_elasticity import lame
+
+    lmbda, mu = lame(E_IN, 0.3)
+
+    def sigma(p):
+        G = jax.jacfwd(
+            lambda q: jnp.stack(
+                [jnp.cos(jnp.sqrt(q[0] ** 2 + q[1] ** 2))] * 2
+            )
+        )(p)
+        eps = 0.5 * (G + G.T)
+        return lmbda * jnp.trace(G) * jnp.eye(2) + 2 * mu * eps
+
+    D = jax.vmap(jax.jacfwd(sigma))(x)  # (n, 2, 2, 2): d_k sigma_ij
+    div = jnp.einsum("nijj->ni", D)
+    return -div / E_IN
+
+
+def _elastic_errors(n):
+    g = pf.Grid(n, n, ((-1.5, -1.5), (1.5, 1.5)), "triangle")
+    s = InterfaceElasticity(g, mode="bg", E_in=E_IN, E_out=E_OUT)
+    s.setup(phi_iface, source_elastic, exact_elastic)
+    s.assemble()
+    res = s.solve(method="dense")
+    err = s.l2_h1_errors(s.u_h, exact_elastic, region=None)
+    return err, s.U.num_dofs
+
+
+def test_interface_elasticity_convergence():
+    e1, d1 = _elastic_errors(8)
+    e2, d2 = _elastic_errors(16)
+    # reference oracle: L2 slope ~ -1, H10 slope ~ -0.5 vs DoF
+    slope_l2 = (np.log(e2["l2"]) - np.log(e1["l2"])) / (np.log(d2) - np.log(d1))
+    assert e2["l2"] < e1["l2"], (e1, e2)
+    assert slope_l2 < -0.5, (e1, e2, slope_l2)
