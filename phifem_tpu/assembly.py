@@ -474,6 +474,26 @@ class Batch:
         dloc = jnp.broadcast_to(dloc, (ne, dloc.shape[-1]))
         return self.scatter_add(d, dloc)
 
+    def add_dense(self, A: np.ndarray, offsets: Dict[str, int]) -> None:
+        mats = np.asarray(
+            self.matrices if self.orient is None else self.matrices[np.asarray(self.orient)]
+        )
+        ne = self.segments[0][1].shape[0]
+        gidx = []
+        for name, dofs, vs in self.segments:
+            vsz = int(np.prod(vs)) if vs else 1
+            base = offsets[name] + np.asarray(dofs)[..., None] * vsz
+            comp = np.arange(vsz)[None, None, :]
+            gidx.append((base + comp).reshape(ne, -1))
+        gidx = np.concatenate(gidx, axis=1)
+        # np.add.at accumulates duplicate indices (a facet batch's two cells
+        # share DoFs; fancy-index += would drop those)
+        np.add.at(
+            A,
+            (gidx[:, :, None], gidx[:, None, :]),
+            np.broadcast_to(mats, (ne,) + mats.shape[-2:]),
+        )
+
 
 @dataclasses.dataclass
 class Operator:
@@ -500,27 +520,9 @@ class Operator:
     def to_dense(self) -> np.ndarray:
         """Dense global matrix (small problems / tests only)."""
         off = self.system.offsets()
-        n = self.system.num_dofs
-        A = np.zeros((n, n))
+        A = np.zeros((self.system.num_dofs, self.system.num_dofs))
         for b in self.batches:
-            mats = np.asarray(
-                b.matrices if b.orient is None else b.matrices[np.asarray(b.orient)]
-            )
-            ne = b.segments[0][1].shape[0]
-            gidx = []
-            for name, dofs, vs in b.segments:
-                vsz = int(np.prod(vs)) if vs else 1
-                base = off[name] + np.asarray(dofs)[..., None] * vsz  # (ne, nloc, 1)
-                comp = np.arange(vsz)[None, None, :]
-                gidx.append((base + comp).reshape(ne, -1))
-            gidx = np.concatenate(gidx, axis=1)  # (ne, ntot)
-            # np.add.at accumulates duplicate indices (a facet batch's two
-            # cells share DoFs; fancy-index += would drop those)
-            np.add.at(
-                A,
-                (gidx[:, :, None], gidx[:, None, :]),
-                np.broadcast_to(mats, (ne,) + mats.shape[-2:]),
-            )
+            b.add_dense(A, off)
         return A
 
 
@@ -530,6 +532,30 @@ def _segments_for_cells(system: System, cells: Array):
         (n, s.cell_dofs[cells], tuple(s.value_shape))
         for n, s in system.fields.items()
     ]
+
+
+def _prune_batch(segments, mats: Array):
+    """Drop local-vector segments whose rows AND columns are identically
+    zero (a term on a mixed space only touches its own fields — e.g. the
+    S5 bulk stiffness uses 1 of 5 fields, 36 of 1764 matrix entries).
+    Shrinks both the gathers and the batched matmuls on the hot path."""
+    M = np.asarray(mats)
+    nz = np.abs(M).sum(axis=0)  # (n, n) aggregated over entities
+    row_any = nz.sum(axis=1) > 0.0
+    col_any = nz.sum(axis=0) > 0.0
+    used = row_any | col_any
+    keep_segments, keep_idx, cur = [], [], 0
+    for name, dofs, vs in segments:
+        vsz = int(np.prod(vs)) if vs else 1
+        ln = dofs.shape[1] * vsz
+        if used[cur : cur + ln].any():
+            keep_segments.append((name, dofs, vs))
+            keep_idx.extend(range(cur, cur + ln))
+        cur += ln
+    if len(keep_idx) == M.shape[-1]:
+        return segments, mats
+    idx = np.asarray(keep_idx, np.int64)
+    return keep_segments, jnp.asarray(M[:, idx][:, :, idx])
 
 
 def assemble_operator(
@@ -557,25 +583,39 @@ def assemble_operator(
             mats = jax.jit(jax.vmap(lambda c: mat_fn(zeros, zeros, c)))(cd)
             cells = _region_cells(grid, cell_tags, term.region)
             cells_j = jnp.asarray(cells)
-            batches.append(
-                Batch(
-                    _segments_for_cells(system, cells_j),
-                    mats,
-                    orient=grid.cell_orientations[cells_j],
+            segs, mats = _prune_batch(_segments_for_cells(system, cells_j), mats)
+            if not segs:
+                continue  # term is identically zero (e.g. P1 Laplacian stab)
+            if (
+                len(segs) == 1
+                and not segs[0][2]  # scalar field
+                and system.fields[segs[0][0]].element.family == "Lagrange"
+                and system.fields[segs[0][0]].degree == 1
+            ):
+                # stencil fast path: pure shifted adds on the vertex lattice
+                from .ops.stencil import StencilCellBatch
+
+                batches.append(
+                    StencilCellBatch.build(
+                        grid, segs[0][0], mats, cell_tags, term.region
+                    )
                 )
-            )
+                continue
+            batches.append(Batch(segs, mats, orient=grid.cell_orientations[cells_j]))
         else:
             cells = _region_cells(grid, cell_tags, term.region)
             cells_j = jnp.asarray(cells)
             cd = cell_data(cells_j)
             mats = jax.jit(jax.vmap(lambda c: mat_fn(zeros, zeros, c)))(cd)
-            batches.append(Batch(_segments_for_cells(system, cells_j), mats))
+            segs, mats = _prune_batch(_segments_for_cells(system, cells_j), mats)
+            if segs:
+                batches.append(Batch(segs, mats))
 
     f2c_np = None
     for term, data in facet_terms:
         data = _normalize_data(data)
         if f2c_np is None:
-            f2c_np = np.asarray(grid.f2c)
+            f2c_np = grid.f2c_np
         ftags = np.asarray(facet_tags)
         sel = np.isin(ftags, np.asarray(term.region))
         sel &= np.all(f2c_np >= 0, axis=1)  # interior facets only (dS semantics)
@@ -601,7 +641,9 @@ def assemble_operator(
             (n, s.cell_dofs[c1], tuple(s.value_shape))
             for n, s in system.fields.items()
         ]
-        batches.append(Batch(segs, mats))
+        segs, mats = _prune_batch(segs, mats)
+        if segs:
+            batches.append(Batch(segs, mats))
 
     for term, data in boundary_terms:
         data = _normalize_data(data)
@@ -614,7 +656,9 @@ def assemble_operator(
         zeros = jnp.zeros(ntot, _float_dtype())
         mat_fn = jax.jacfwd(jax.grad(local, argnums=1), argnums=0)
         mats = jax.jit(jax.vmap(lambda c: mat_fn(zeros, zeros, c)))(cd)
-        batches.append(Batch(_segments_for_cells(system, fl.cells), mats))
+        segs, mats = _prune_batch(_segments_for_cells(system, fl.cells), mats)
+        if segs:
+            batches.append(Batch(segs, mats))
 
     return Operator(system, batches)
 

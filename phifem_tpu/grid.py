@@ -10,6 +10,12 @@ dolfinx mesh + topology stack the reference consumes (connectivity queries at
 index arithmetic.  Nothing ragged, nothing dynamic: all entity counts are
 static functions of ``(nx, ny, cell_type)``, which is exactly what XLA wants.
 
+Connectivity/geometry *tables* are host-side preprocessing: they are built
+once in numpy (no XLA compiles, no device round-trips — important because a
+fresh compile through the TPU tunnel is expensive) and uploaded to the
+device as constants.  Only the traced compute path (``map_to_physical``,
+``cell_jacobians`` consumers) runs under jit.
+
 Entity numbering (fixed, documented convention — this framework defines its
 own canonical numbering, it does not reproduce dolfinx's):
 
@@ -57,6 +63,16 @@ def _as_cell_type(cell_type) -> CellType:
     if isinstance(cell_type, CellType):
         return cell_type
     return CellType(str(cell_type))
+
+
+def _x64() -> bool:
+    from jax import config
+
+    return bool(config.jax_enable_x64)
+
+
+def _np_float():
+    return np.float64 if _x64() else np.float32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,115 +186,87 @@ class Grid:
         ``demo/interface-elasticity/main.py:389-390``)."""
         return Grid(self.nx * 2, self.ny * 2, self.bbox, self.cell_type)
 
-    # ------------------------------------------------------- index arithmetic
-    def _block_ij(self, cells: Array) -> Tuple[Array, Array, Array]:
-        """cell ids -> (ix, iy, which) with which=0 lower / 1 upper (tri)."""
+    # --------------------------------------------- numpy index arithmetic
+    def _block_ij_np(self, cells: np.ndarray):
         if self.is_simplex:
             block, which = cells // 2, cells % 2
         else:
-            block, which = cells, jnp.zeros_like(cells)
+            block, which = cells, np.zeros_like(cells)
         return block % self.nx, block // self.nx, which
 
-    def _vid(self, ix: Array, iy: Array) -> Array:
+    def _vid(self, ix, iy):
         return iy * (self.nx + 1) + ix
 
-    def _vf(self, ix: Array, iy: Array) -> Array:
+    def _vf(self, ix, iy):
         return iy * (self.nx + 1) + ix
 
-    def _hf(self, ix: Array, iy: Array) -> Array:
+    def _hf(self, ix, iy):
         return self.num_vfacets + iy * self.nx + ix
 
-    def _df(self, ix: Array, iy: Array) -> Array:
+    def _df(self, ix, iy):
         return self.num_vfacets + self.num_hfacets + iy * self.nx + ix
 
-    # ------------------------------------------------------------ cell tables
+    # ----------------------------------------------------- host-side tables
     @cached_property
-    def vertex_coords(self) -> Array:
-        """(num_vertices, 2) float coordinates."""
-        ii = jnp.arange(self.num_vertices, dtype=jnp.int32)
+    def vertex_coords_np(self) -> np.ndarray:
+        ft = _np_float()
+        ii = np.arange(self.num_vertices, dtype=np.int64)
         ix, iy = ii % (self.nx + 1), ii // (self.nx + 1)
-        x = self.x0 + ix.astype(jnp.float64 if _x64() else jnp.float32) * self.hx
-        y = self.y0 + iy.astype(jnp.float64 if _x64() else jnp.float32) * self.hy
-        return jnp.stack([x, y], axis=-1)
+        return np.stack(
+            [self.x0 + ix.astype(ft) * ft(self.hx), self.y0 + iy.astype(ft) * ft(self.hy)],
+            axis=-1,
+        ).astype(ft)
 
     @cached_property
-    def cell_vertices(self) -> Array:
-        """(num_cells, nvpc) int32 vertex ids, in the documented local order."""
-        cells = jnp.arange(self.num_cells, dtype=jnp.int32)
-        ix, iy, which = self._block_ij(cells)
+    def cell_vertices_np(self) -> np.ndarray:
+        cells = np.arange(self.num_cells, dtype=np.int64)
+        ix, iy, which = self._block_ij_np(cells)
         v00 = self._vid(ix, iy)
         v10 = self._vid(ix + 1, iy)
         v01 = self._vid(ix, iy + 1)
         v11 = self._vid(ix + 1, iy + 1)
         if self.is_simplex:
-            lower = jnp.stack([v00, v10, v11], axis=-1)
-            upper = jnp.stack([v00, v11, v01], axis=-1)
-            return jnp.where(which[:, None] == 0, lower, upper)
-        return jnp.stack([v00, v10, v01, v11], axis=-1)
+            lower = np.stack([v00, v10, v11], axis=-1)
+            upper = np.stack([v00, v11, v01], axis=-1)
+            return np.where(which[:, None] == 0, lower, upper).astype(np.int32)
+        return np.stack([v00, v10, v01, v11], axis=-1).astype(np.int32)
 
     @cached_property
-    def cell_orientations(self) -> Array:
-        """(num_cells,) int32: 0 for quads / lower triangles, 1 for upper."""
-        cells = jnp.arange(self.num_cells, dtype=jnp.int32)
-        return (cells % 2).astype(jnp.int32) if self.is_simplex else jnp.zeros_like(cells)
+    def cell_orientations_np(self) -> np.ndarray:
+        cells = np.arange(self.num_cells, dtype=np.int64)
+        return (cells % 2 if self.is_simplex else np.zeros_like(cells)).astype(np.int32)
 
     @cached_property
-    def cell_origins(self) -> Array:
-        """(num_cells, 2) coordinates of the block origin v00 of each cell."""
-        cells = jnp.arange(self.num_cells, dtype=jnp.int32)
-        ix, iy, _ = self._block_ij(cells)
-        ft = jnp.float64 if _x64() else jnp.float32
-        return jnp.stack(
-            [self.x0 + ix.astype(ft) * self.hx, self.y0 + iy.astype(ft) * self.hy],
+    def cell_origins_np(self) -> np.ndarray:
+        ft = _np_float()
+        cells = np.arange(self.num_cells, dtype=np.int64)
+        ix, iy, _ = self._block_ij_np(cells)
+        return np.stack(
+            [self.x0 + ix.astype(ft) * ft(self.hx), self.y0 + iy.astype(ft) * ft(self.hy)],
             axis=-1,
-        )
+        ).astype(ft)
 
     @cached_property
-    def cell_vertex_coords(self) -> Array:
-        """(num_cells, nvpc, 2) physical vertex coordinates."""
-        return self.vertex_coords[self.cell_vertices]
-
-    @cached_property
-    def cell_midpoints(self) -> Array:
-        return jnp.mean(self.cell_vertex_coords, axis=1)
-
-    # --------------------------------------------------------- connectivity
-    @cached_property
-    def c2f(self) -> Array:
-        """(num_cells, nfpc) int32 facet ids — cell-to-facet connectivity.
-
-        Replaces ``topology.connectivity(cdim, fdim)`` (reference
-        ``mesh_scripts.py:418-422``).  Local order:
-        quad: [left, right, bottom, top];
-        lower tri: [bottom, right, diagonal]; upper tri: [diagonal, top, left].
-        """
-        cells = jnp.arange(self.num_cells, dtype=jnp.int32)
-        ix, iy, which = self._block_ij(cells)
+    def c2f_np(self) -> np.ndarray:
+        cells = np.arange(self.num_cells, dtype=np.int64)
+        ix, iy, which = self._block_ij_np(cells)
         if self.is_simplex:
-            lower = jnp.stack(
+            lower = np.stack(
                 [self._hf(ix, iy), self._vf(ix + 1, iy), self._df(ix, iy)], axis=-1
             )
-            upper = jnp.stack(
+            upper = np.stack(
                 [self._df(ix, iy), self._hf(ix, iy + 1), self._vf(ix, iy)], axis=-1
             )
-            return jnp.where(which[:, None] == 0, lower, upper)
-        return jnp.stack(
+            return np.where(which[:, None] == 0, lower, upper).astype(np.int32)
+        return np.stack(
             [self._vf(ix, iy), self._vf(ix + 1, iy), self._hf(ix, iy), self._hf(ix, iy + 1)],
             axis=-1,
-        )
+        ).astype(np.int32)
 
     @cached_property
-    def f2c(self) -> Array:
-        """(num_facets, 2) int32 ``(cell_minus, cell_plus)``; -1 = no cell.
-
-        Replaces the f2c adjacency reshaped by ``_reshape_map`` (reference
-        ``mesh_scripts.py:151-154, 195-214``).  The base normal points from
-        slot 0 to slot 1.
-        """
+    def f2c_np(self) -> np.ndarray:
         nvf, nhf = self.num_vfacets, self.num_hfacets
-
-        # vertical facets: (ix in [0, nx], iy in [0, ny-1]); minus = left cell.
-        f = jnp.arange(nvf, dtype=jnp.int32)
+        f = np.arange(nvf, dtype=np.int64)
         ix, iy = f % (self.nx + 1), f // (self.nx + 1)
         if self.is_simplex:
             left = 2 * (iy * self.nx + (ix - 1))  # lower tri owns the right edge
@@ -286,12 +274,11 @@ class Grid:
         else:
             left = iy * self.nx + (ix - 1)
             right = iy * self.nx + ix
-        vmin = jnp.where(ix > 0, left, -1)
-        vplus = jnp.where(ix < self.nx, right, -1)
-        vpairs = jnp.stack([vmin, vplus], axis=-1)
+        vpairs = np.stack(
+            [np.where(ix > 0, left, -1), np.where(ix < self.nx, right, -1)], axis=-1
+        )
 
-        # horizontal facets: (ix in [0, nx-1], iy in [0, ny]); minus = below.
-        f = jnp.arange(nhf, dtype=jnp.int32)
+        f = np.arange(nhf, dtype=np.int64)
         ix, iy = f % self.nx, f // self.nx
         if self.is_simplex:
             below = 2 * ((iy - 1) * self.nx + ix) + 1  # upper tri owns the top edge
@@ -299,133 +286,183 @@ class Grid:
         else:
             below = (iy - 1) * self.nx + ix
             above = iy * self.nx + ix
-        hmin = jnp.where(iy > 0, below, -1)
-        hplus = jnp.where(iy < self.ny, above, -1)
-        hpairs = jnp.stack([hmin, hplus], axis=-1)
+        hpairs = np.stack(
+            [np.where(iy > 0, below, -1), np.where(iy < self.ny, above, -1)], axis=-1
+        )
 
         pairs = [vpairs, hpairs]
         if self.is_simplex:
-            f = jnp.arange(self.num_dfacets, dtype=jnp.int32)
-            block = f
-            dpairs = jnp.stack([2 * block, 2 * block + 1], axis=-1).astype(jnp.int32)
-            pairs.append(dpairs)
-        return jnp.concatenate(pairs, axis=0).astype(jnp.int32)
+            block = np.arange(self.num_dfacets, dtype=np.int64)
+            pairs.append(np.stack([2 * block, 2 * block + 1], axis=-1))
+        return np.concatenate(pairs, axis=0).astype(np.int32)
 
     @cached_property
-    def facet_kind(self) -> Array:
-        """(num_facets,) int32: 0=vertical, 1=horizontal, 2=diagonal."""
+    def facet_kind_np(self) -> np.ndarray:
         kinds = [
-            jnp.zeros(self.num_vfacets, jnp.int32),
-            jnp.ones(self.num_hfacets, jnp.int32),
+            np.zeros(self.num_vfacets, np.int32),
+            np.ones(self.num_hfacets, np.int32),
         ]
         if self.is_simplex:
-            kinds.append(jnp.full(self.num_dfacets, 2, jnp.int32))
-        return jnp.concatenate(kinds)
+            kinds.append(np.full(self.num_dfacets, 2, np.int32))
+        return np.concatenate(kinds)
 
     @cached_property
-    def facet_base_normals(self) -> Array:
-        """(num_facets, 2) unit normal pointing from cell_minus to cell_plus."""
-        ft = jnp.float64 if _x64() else jnp.float32
-        ex = jnp.array([1.0, 0.0], ft)
-        ey = jnp.array([0.0, 1.0], ft)
+    def facet_base_normals_np(self) -> np.ndarray:
+        ft = _np_float()
         normals = [
-            jnp.tile(ex, (self.num_vfacets, 1)),
-            jnp.tile(ey, (self.num_hfacets, 1)),
+            np.tile(np.array([1.0, 0.0], ft), (self.num_vfacets, 1)),
+            np.tile(np.array([0.0, 1.0], ft), (self.num_hfacets, 1)),
         ]
         if self.is_simplex:
             l = self.diag_length
-            nd = jnp.array([-self.hy / l, self.hx / l], ft)
-            normals.append(jnp.tile(nd, (self.num_dfacets, 1)))
-        return jnp.concatenate(normals, axis=0)
+            nd = np.array([-self.hy / l, self.hx / l], ft)
+            normals.append(np.tile(nd, (self.num_dfacets, 1)))
+        return np.concatenate(normals, axis=0).astype(ft)
 
     @cached_property
-    def facet_lengths(self) -> Array:
-        ft = jnp.float64 if _x64() else jnp.float32
+    def facet_lengths_np(self) -> np.ndarray:
+        ft = _np_float()
         lens = [
-            jnp.full(self.num_vfacets, self.hy, ft),
-            jnp.full(self.num_hfacets, self.hx, ft),
+            np.full(self.num_vfacets, self.hy, ft),
+            np.full(self.num_hfacets, self.hx, ft),
         ]
         if self.is_simplex:
-            lens.append(jnp.full(self.num_dfacets, self.diag_length, ft))
-        return jnp.concatenate(lens)
+            lens.append(np.full(self.num_dfacets, self.diag_length, ft))
+        return np.concatenate(lens)
 
     @cached_property
-    def facet_endpoints(self) -> Array:
+    def facet_endpoints_np(self) -> np.ndarray:
         """(num_facets, 2, 2): start/end coordinates.  Parametrization t in
         [0,1]: vertical bottom->top, horizontal left->right, diagonal
         v00->v11."""
-        ft = jnp.float64 if _x64() else jnp.float32
+        ft = _np_float()
+        hx, hy = ft(self.hx), ft(self.hy)
 
-        f = jnp.arange(self.num_vfacets, dtype=jnp.int32)
+        f = np.arange(self.num_vfacets, dtype=np.int64)
         ix, iy = f % (self.nx + 1), f // (self.nx + 1)
-        x = self.x0 + ix.astype(ft) * self.hx
-        y = self.y0 + iy.astype(ft) * self.hy
-        vstart = jnp.stack([x, y], -1)
-        vend = jnp.stack([x, y + self.hy], -1)
-        segs = [jnp.stack([vstart, vend], axis=1)]
+        x = self.x0 + ix.astype(ft) * hx
+        y = self.y0 + iy.astype(ft) * hy
+        segs = [np.stack([np.stack([x, y], -1), np.stack([x, y + hy], -1)], axis=1)]
 
-        f = jnp.arange(self.num_hfacets, dtype=jnp.int32)
+        f = np.arange(self.num_hfacets, dtype=np.int64)
         ix, iy = f % self.nx, f // self.nx
-        x = self.x0 + ix.astype(ft) * self.hx
-        y = self.y0 + iy.astype(ft) * self.hy
-        hstart = jnp.stack([x, y], -1)
-        hend = jnp.stack([x + self.hx, y], -1)
-        segs.append(jnp.stack([hstart, hend], axis=1))
+        x = self.x0 + ix.astype(ft) * hx
+        y = self.y0 + iy.astype(ft) * hy
+        segs.append(np.stack([np.stack([x, y], -1), np.stack([x + hx, y], -1)], axis=1))
 
         if self.is_simplex:
-            f = jnp.arange(self.num_dfacets, dtype=jnp.int32)
+            f = np.arange(self.num_dfacets, dtype=np.int64)
             ix, iy = f % self.nx, f // self.nx
-            x = self.x0 + ix.astype(ft) * self.hx
-            y = self.y0 + iy.astype(ft) * self.hy
-            dstart = jnp.stack([x, y], -1)
-            dend = jnp.stack([x + self.hx, y + self.hy], -1)
-            segs.append(jnp.stack([dstart, dend], axis=1))
-        return jnp.concatenate(segs, axis=0)
+            x = self.x0 + ix.astype(ft) * hx
+            y = self.y0 + iy.astype(ft) * hy
+            segs.append(
+                np.stack([np.stack([x, y], -1), np.stack([x + hx, y + hy], -1)], axis=1)
+            )
+        return np.concatenate(segs, axis=0).astype(ft)
 
     @cached_property
-    def boundary_facet_mask(self) -> Array:
-        """(num_facets,) bool — facets on the boundary of the background box.
+    def boundary_facet_mask_np(self) -> np.ndarray:
+        """Facets on the boundary of the background box (replaces
+        ``dfx.mesh.locate_entities_boundary`` with an all-true predicate,
+        reference ``mesh_scripts.py:430-432``)."""
+        return np.any(self.f2c_np < 0, axis=1)
 
-        Replaces ``dfx.mesh.locate_entities_boundary(mesh, fdim, all-true)``
-        (reference ``mesh_scripts.py:430-432``)."""
-        return jnp.any(self.f2c < 0, axis=1)
-
-    @cached_property
-    def facet_midpoints(self) -> Array:
-        return jnp.mean(self.facet_endpoints, axis=1)
-
-    def local_facet_index(self, cells: Array, facets: Array) -> Array:
+    def local_facet_index_np(self, cells: np.ndarray, facets: np.ndarray) -> np.ndarray:
         """For pairs (cell, facet) return the local index k with
         ``c2f[cell, k] == facet`` (used to emit dolfinx-style one-sided
         integration entity pairs, reference ``mesh_scripts.py:137-192``)."""
-        rows = self.c2f[cells]
-        return jnp.argmax(rows == facets[:, None], axis=1).astype(jnp.int32)
+        rows = self.c2f_np[np.asarray(cells)]
+        return np.argmax(rows == np.asarray(facets)[:, None], axis=1).astype(np.int32)
 
-    # ------------------------------------------------------ reference mapping
+    # ----------------------------------------------------- device constants
+    @cached_property
+    def vertex_coords(self) -> Array:
+        return jnp.asarray(self.vertex_coords_np)
+
+    @cached_property
+    def cell_vertices(self) -> Array:
+        return jnp.asarray(self.cell_vertices_np)
+
+    @cached_property
+    def cell_orientations(self) -> Array:
+        return jnp.asarray(self.cell_orientations_np)
+
+    @cached_property
+    def cell_origins(self) -> Array:
+        return jnp.asarray(self.cell_origins_np)
+
+    @cached_property
+    def cell_vertex_coords(self) -> Array:
+        return jnp.asarray(self.vertex_coords_np[self.cell_vertices_np])
+
+    @cached_property
+    def cell_midpoints(self) -> Array:
+        return jnp.asarray(self.vertex_coords_np[self.cell_vertices_np].mean(axis=1))
+
+    @cached_property
+    def c2f(self) -> Array:
+        return jnp.asarray(self.c2f_np)
+
+    @cached_property
+    def f2c(self) -> Array:
+        return jnp.asarray(self.f2c_np)
+
+    @cached_property
+    def facet_kind(self) -> Array:
+        return jnp.asarray(self.facet_kind_np)
+
+    @cached_property
+    def facet_base_normals(self) -> Array:
+        return jnp.asarray(self.facet_base_normals_np)
+
+    @cached_property
+    def facet_lengths(self) -> Array:
+        return jnp.asarray(self.facet_lengths_np)
+
+    @cached_property
+    def facet_endpoints(self) -> Array:
+        return jnp.asarray(self.facet_endpoints_np)
+
+    @cached_property
+    def facet_midpoints(self) -> Array:
+        return jnp.asarray(self.facet_endpoints_np.mean(axis=1))
+
+    @cached_property
+    def boundary_facet_mask(self) -> Array:
+        return jnp.asarray(self.boundary_facet_mask_np)
+
+    def local_facet_index(self, cells, facets) -> Array:
+        return jnp.asarray(
+            self.local_facet_index_np(np.asarray(cells), np.asarray(facets))
+        )
+
+    # ------------------------------------------------------ traced mapping
     def map_to_physical(self, cells: Array, ref_pts: Array) -> Array:
         """Map reference-cell points to physical space, batched over cells.
 
         ``ref_pts``: (npts, 2) on the reference square [0,1]^2 (quads) or the
         reference triangle conv{(0,0),(1,0),(0,1)} (triangles).  Returns
-        (len(cells), npts, 2).
+        (len(cells), npts, 2).  Traced (jit-safe) path.
         """
         ft = jnp.float64 if _x64() else jnp.float32
         ref_pts = jnp.asarray(ref_pts, ft)
-        origins = self.cell_origins[cells]  # (nc, 2)
+        r, s = ref_pts[None, :, 0:1], ref_pts[None, :, 1:2]
+        verts = self.cell_vertex_coords[cells]  # (nc, nv, 2)
+        # barycentric / bilinear combination x = sum_k psi_k(X) p_k — the
+        # same arithmetic FFCx-generated kernels use to push quadrature
+        # points forward, so knife-edge level-set signs at mapped points
+        # match the reference bit-for-bit wherever rounding allows.
         if not self.is_simplex:
-            scale = jnp.array([self.hx, self.hy], ft)
-            return origins[:, None, :] + ref_pts[None, :, :] * scale
-        # triangle: x = p0 + r*(p1-p0) + s*(p2-p0); p depends on orientation
-        verts = self.cell_vertex_coords[cells]  # (nc, 3, 2)
-        p0, e1, e2 = (
-            verts[:, 0, :],
-            verts[:, 1, :] - verts[:, 0, :],
-            verts[:, 2, :] - verts[:, 0, :],
-        )
+            return (
+                (1 - r) * (1 - s) * verts[:, 0, None, :]
+                + r * (1 - s) * verts[:, 1, None, :]
+                + (1 - r) * s * verts[:, 2, None, :]
+                + r * s * verts[:, 3, None, :]
+            )
         return (
-            p0[:, None, :]
-            + ref_pts[None, :, 0:1] * e1[:, None, :]
-            + ref_pts[None, :, 1:2] * e2[:, None, :]
+            (1 - r - s) * verts[:, 0, None, :]
+            + r * verts[:, 1, None, :]
+            + s * verts[:, 2, None, :]
         )
 
     def cell_jacobians(self) -> Tuple[Array, Array]:
@@ -448,9 +485,3 @@ class Grid:
         )
         det = jnp.abs(jnp.linalg.det(J))
         return J, det
-
-
-def _x64() -> bool:
-    from jax import config
-
-    return bool(config.jax_enable_x64)

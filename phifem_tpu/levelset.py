@@ -151,20 +151,21 @@ def evaluate_at_cell_points(
         tab = levelset.space._basis_jnp(ref_pts)  # (nc, npts, nloc)
         nodal = levelset.data[levelset.space.cell_dofs[cells]]  # (nc, nloc)
         return jnp.einsum("cpl,cl->cp", tab, nodal)
-    origins = grid.cell_origins[cells]
+    verts = grid.cell_vertex_coords[cells]
+    r, s = ref_pts[..., 0:1], ref_pts[..., 1:2]
+    # same barycentric/bilinear push-forward as Grid.map_to_physical
     if not grid.is_simplex:
-        ft = origins.dtype
-        scale = jnp.array([grid.hx, grid.hy], ft)
-        phys = origins[:, None, :] + ref_pts * scale
-    else:
-        verts = grid.cell_vertex_coords[cells]
-        p0 = verts[:, 0, :]
-        e1 = verts[:, 1, :] - verts[:, 0, :]
-        e2 = verts[:, 2, :] - verts[:, 0, :]
         phys = (
-            p0[:, None, :]
-            + ref_pts[..., 0:1] * e1[:, None, :]
-            + ref_pts[..., 1:2] * e2[:, None, :]
+            (1 - r) * (1 - s) * verts[:, None, 0, :]
+            + r * (1 - s) * verts[:, None, 1, :]
+            + (1 - r) * s * verts[:, None, 2, :]
+            + r * s * verts[:, None, 3, :]
+        )
+    else:
+        phys = (
+            (1 - r - s) * verts[:, None, 0, :]
+            + r * verts[:, None, 1, :]
+            + s * verts[:, None, 2, :]
         )
     vals = levelset(phys.reshape(-1, 2))
     return jnp.reshape(vals, phys.shape[:2])

@@ -69,7 +69,7 @@ def one_sided_facets(
     cell whose tag is in ``side_tags`` (reference ``mesh_scripts.py:156-165``:
     ``integration_cells`` selection via ``np.isin``)."""
     facet_ids = np.asarray(facet_ids, np.int32)
-    f2c = np.asarray(grid.f2c)[facet_ids]  # (n, 2)
+    f2c = grid.f2c_np[facet_ids]  # (n, 2)
     tags = np.asarray(cell_tags)
     t0 = np.where(f2c[:, 0] >= 0, tags[np.maximum(f2c[:, 0], 0)], -1)
     t1 = np.where(f2c[:, 1] >= 0, tags[np.maximum(f2c[:, 1], 0)], -1)

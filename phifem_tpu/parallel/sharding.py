@@ -39,21 +39,22 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
+def _spec_for(v: Array, mesh: Mesh) -> NamedSharding:
+    """Shard the leading (scalar-DoF) axis when divisible by the mesh,
+    replicate otherwise (XLA requires divisible global dims)."""
+    n = mesh.shape[AXIS]
+    lead = AXIS if v.shape[0] % n == 0 else None
+    return NamedSharding(mesh, P(lead, *([None] * (v.ndim - 1))))
+
+
 def shard_vector(x: Dict[str, Array], mesh: Mesh) -> Dict[str, Array]:
     """Place a DoF pytree with the leading (scalar-DoF) axis sharded."""
-    return {
-        k: jax.device_put(
-            v, NamedSharding(mesh, P(AXIS, *([None] * (v.ndim - 1))))
-        )
-        for k, v in x.items()
-    }
+    return {k: jax.device_put(v, _spec_for(v, mesh)) for k, v in x.items()}
 
 
 def _constrain(x: Dict[str, Array], mesh: Mesh) -> Dict[str, Array]:
     return {
-        k: jax.lax.with_sharding_constraint(
-            v, NamedSharding(mesh, P(AXIS, *([None] * (v.ndim - 1))))
-        )
+        k: jax.lax.with_sharding_constraint(v, _spec_for(v, mesh))
         for k, v in x.items()
     }
 

@@ -94,18 +94,19 @@ class Space:
 
     # --------------------------------------------------------------- dof maps
     @cached_property
-    def cell_dofs(self) -> Array:
+    def cell_dofs_np(self) -> np.ndarray:
         """(num_cells, nloc) int32 global scalar-DoF ids per local node.
 
-        Edge nodes are oriented along the *global* facet parametrization so
-        that neighbouring cells agree; the only direction flip on this grid
-        is the upper triangle's top edge (local facet 1), whose local
-        direction p1->p2 runs right-to-left against the global horizontal
+        Host-side numpy (preprocessing — no device compiles).  Edge nodes
+        are oriented along the *global* facet parametrization so that
+        neighbouring cells agree; the only direction flip on this grid is
+        the upper triangle's top edge (local facet 1), whose local direction
+        p1->p2 runs right-to-left against the global horizontal
         left-to-right convention.
         """
         g, k = self.grid, self.degree
         if self.element.family == "DG":
-            return jnp.arange(g.num_cells, dtype=jnp.int32)[:, None]
+            return np.arange(g.num_cells, dtype=np.int32)[:, None]
 
         kind, entity, param = classify_nodes(self.element)
         nV = g.num_vertices
@@ -114,40 +115,45 @@ class Space:
         n_int = int(np.sum(kind == 2))
 
         cols = []
-        cells = jnp.arange(g.num_cells, dtype=jnp.int32)
-        orient = g.cell_orientations
+        cells = np.arange(g.num_cells, dtype=np.int64)
+        orient = g.cell_orientations_np
+        cv = g.cell_vertices_np
+        c2f = g.c2f_np
         for m in range(self.nloc):
             if kind[m] == 0:
-                col = g.cell_vertices[:, int(entity[m])]
+                col = cv[:, int(entity[m])]
             elif kind[m] == 1:
                 lf = int(entity[m])
                 t = float(param[m])
-                facet = g.c2f[:, lf]
+                facet = c2f[:, lf]
                 # node index along the facet in *local* direction
                 idx_local = int(round(t * k)) - 1
                 idx_rev = (k - 1) - 1 - idx_local
                 if g.is_simplex and lf == 1:
                     # upper triangles reverse local facet 1 (top edge)
-                    idx = jnp.where(orient == 1, idx_rev, idx_local)
+                    idx = np.where(orient == 1, idx_rev, idx_local)
                 else:
-                    idx = jnp.full_like(cells, idx_local)
+                    idx = np.full_like(cells, idx_local)
                 col = edge_base + facet * (k - 1) + idx
             else:
                 col = cell_base + cells * n_int + int(entity[m])
-            cols.append(col.astype(jnp.int32))
-        return jnp.stack(cols, axis=-1)
+            cols.append(col.astype(np.int32))
+        return np.stack(cols, axis=-1)
 
     @cached_property
-    def dof_coords(self) -> Array:
+    def cell_dofs(self) -> Array:
+        return jnp.asarray(self.cell_dofs_np)
+
+    @cached_property
+    def dof_coords_np(self) -> np.ndarray:
         """(num_scalar_dofs, 2) physical coordinates of scalar DoFs."""
         g, k = self.grid, self.degree
-        ft = _float_dtype()
         if self.element.family == "DG":
-            return g.cell_midpoints.astype(ft)
-        coords = [g.vertex_coords.astype(ft)]
+            return g.vertex_coords_np[g.cell_vertices_np].mean(axis=1)
+        coords = [g.vertex_coords_np]
         if k > 1:
-            ends = g.facet_endpoints  # (nf, 2, 2)
-            ts = jnp.asarray([(m + 1) / k for m in range(k - 1)], ft)
+            ends = g.facet_endpoints_np  # (nf, 2, 2)
+            ts = np.asarray([(m + 1) / k for m in range(k - 1)])
             fac = (
                 ends[:, None, 0, :] * (1 - ts)[None, :, None]
                 + ends[:, None, 1, :] * ts[None, :, None]
@@ -156,10 +162,26 @@ class Space:
             kind, entity, _ = classify_nodes(self.element)
             int_nodes = self.element.nodes[kind == 2]
             if len(int_nodes):
-                cells = jnp.arange(g.num_cells, dtype=jnp.int32)
-                pts = g.map_to_physical(cells, int_nodes)  # (nc, nint, 2)
+                # physical positions of cell-interior lattice nodes
+                verts = g.vertex_coords_np[g.cell_vertices_np]  # (nc, nv, 2)
+                if g.is_simplex:
+                    p0 = verts[:, 0, :]
+                    e1 = verts[:, 1, :] - p0
+                    e2 = verts[:, 2, :] - p0
+                    pts = (
+                        p0[:, None, :]
+                        + int_nodes[None, :, 0:1] * e1[:, None, :]
+                        + int_nodes[None, :, 1:2] * e2[:, None, :]
+                    )
+                else:
+                    scale = np.array([g.hx, g.hy])
+                    pts = g.cell_origins_np[:, None, :] + int_nodes[None] * scale
                 coords.append(pts.reshape(-1, 2))
-        return jnp.concatenate(coords, axis=0)
+        return np.concatenate(coords, axis=0)
+
+    @cached_property
+    def dof_coords(self) -> Array:
+        return jnp.asarray(self.dof_coords_np)
 
     # --------------------------------------------------- jnp basis evaluation
     def _basis_jnp(self, ref_pts: Array, deriv: int = 0) -> Array:

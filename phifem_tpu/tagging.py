@@ -122,9 +122,9 @@ def _boundary_trace_cut(
     includes the zero-denominator interior cells forced to 0.5 — becomes
     ``has_pos == has_neg``.
     """
-    bmask = np.asarray(grid.boundary_facet_mask)
+    bmask = grid.boundary_facet_mask_np
     bf = np.where(bmask)[0].astype(np.int32)  # static: grid structure only
-    f2c = np.asarray(grid.f2c)[bf]
+    f2c = grid.f2c_np[bf]
     owner = np.max(f2c, axis=1).astype(np.int32)  # the single adjacent cell
     owner_j = jnp.asarray(owner)
     bf_j = jnp.asarray(bf)
@@ -251,11 +251,11 @@ def _build_submesh(grid: Grid, cell_tags: Array, facet_tags: Array) -> Submesh:
     ct = np.asarray(cell_tags)
     ftags = np.asarray(facet_tags)
     active = np.where((ct == 1) | (ct == 2))[0].astype(np.int32)
-    c2f = np.asarray(grid.c2f)[active]
+    c2f = grid.c2f_np[active]
     facets = np.unique(c2f.reshape(-1)).astype(np.int32)
 
     # exterior boundary of the submesh: facets with exactly one active cell
-    f2c = np.asarray(grid.f2c)[facets]
+    f2c = grid.f2c_np[facets]
     act = np.zeros(grid.num_cells, bool)
     act[active] = True
     a0 = (f2c[:, 0] >= 0) & act[np.maximum(f2c[:, 0], 0)]

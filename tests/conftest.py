@@ -6,7 +6,10 @@ testing recipe from SURVEY.md section 4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment pins JAX_PLATFORMS=axon (the tunneled
+# TPU), which a setdefault would silently keep — and the suite must run on
+# the virtual multi-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compilation cache: the suite's cost is dominated by XLA
 # compiles of the (identical across runs) assembly/solver kernels.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
