@@ -21,8 +21,13 @@ if _os.environ.get("PHIFEM_X64", "1") == "1":
 # Persistent XLA compilation cache: assembly/solver kernels are identical
 # across runs, so cold-start cost collapses after the first session.
 if _os.environ.get("PHIFEM_CACHE", "1") == "1":
+    # separate caches per execution mode: with the axon plugin registered,
+    # even CPU-backend kernels are compiled terminal-side with that host's
+    # machine features, and those AOT artifacts are rejected locally
+    _mode = "axon" if _os.environ.get("PALLAS_AXON_POOL_IPS") else "cpu"
     _cache_dir = _os.environ.get(
-        "PHIFEM_CACHE_DIR", _os.path.expanduser("~/.cache/phifem_tpu_xla")
+        "PHIFEM_CACHE_DIR",
+        _os.path.expanduser(f"~/.cache/phifem_tpu_xla_{_mode}"),
     )
     _config.update("jax_compilation_cache_dir", _cache_dir)
     _config.update("jax_persistent_cache_min_entry_size_bytes", -1)

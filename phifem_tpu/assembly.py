@@ -258,13 +258,14 @@ def _cell_local_fn(system: System, term: CellTerm, grid: Grid, data: Dict):
     wq_j = jnp.asarray(wq, _float_dtype())
     detJ_j = jnp.asarray(detJ, _float_dtype())
 
-    def cell_data(cells: Array) -> Dict:
+    def cell_data(cells: Array, arrays: Optional[Dict] = None) -> Dict:
         cd = {
             "orient": grid.cell_orientations[cells],
             "x": grid.map_to_physical(cells, ref_pts),
         }
         for k, f in fn_data.items():
-            cd["d_" + k] = f.data[f.space.cell_dofs[cells]]
+            dat = arrays[k] if arrays is not None else f.data
+            cd["d_" + k] = dat[f.space.cell_dofs[cells]]
         for k, f in call_data.items():
             vals = f(cd["x"].reshape(-1, 2))
             cd["c_" + k] = jnp.reshape(
@@ -299,7 +300,7 @@ def _cell_local_fn(system: System, term: CellTerm, grid: Grid, data: Dict):
         contrib = jax.vmap(at_point)(q_tabs, q_dtabs, q_call, cd["x"], w_all)
         return jnp.sum(contrib)
 
-    return local, cell_data, ntot, layout
+    return local, cell_data, ntot, layout, fn_data
 
 
 def _region_cells(grid: Grid, cell_tags, region) -> np.ndarray:
@@ -323,7 +324,8 @@ def _facet_local_fn(system: System, term, grid: Grid, data: Dict, one_sided: boo
     wq_j = jnp.asarray(wq, _float_dtype())
     tq_j = jnp.asarray(tq, _float_dtype())
 
-    def facet_data(facets: Array, cells_sides, locals_sides, normals) -> Dict:
+    def facet_data(facets: Array, cells_sides, locals_sides, normals,
+                   arrays: Optional[Dict] = None) -> Dict:
         ends = grid.facet_endpoints[facets]  # (ne, 2, 2)
         x = ends[:, None, 0, :] * (1 - tq_j)[None, :, None] + ends[
             :, None, 1, :
@@ -337,7 +339,8 @@ def _facet_local_fn(system: System, term, grid: Grid, data: Dict, one_sided: boo
             cd[f"orient{s}"] = grid.cell_orientations[cells]
             cd[f"lf{s}"] = locs
             for k, f in fn_data.items():
-                cd[f"d{s}_" + k] = f.data[f.space.cell_dofs[cells]]
+                dat = arrays[k] if arrays is not None else f.data
+                cd[f"d{s}_" + k] = dat[f.space.cell_dofs[cells]]
         for k, f in call_data.items():
             vals = f(x.reshape(-1, 2))
             cd["c_" + k] = jnp.reshape(vals, x.shape[:2] + vals.shape[1:])
@@ -420,7 +423,7 @@ def _facet_local_fn(system: System, term, grid: Grid, data: Dict, one_sided: boo
         contrib = jax.vmap(at_point, in_axes=(0, 0, 0))(q_idx_tabs, cd["x"], w_all)
         return jnp.sum(contrib)
 
-    return local, facet_data, ntot, layout
+    return local, facet_data, ntot, layout, fn_data
 
 
 # ---------------------------------------------------------------- operator
@@ -431,6 +434,7 @@ class Batch:
     segments: List[Tuple[str, Array, Tuple[int, ...]]]  # (field, dofs (ne, nloc), vshape)
     matrices: Array  # (ne, n, n) or (norient, n, n) if uniform
     orient: Optional[Array] = None  # (ne,) for uniform batches
+    rebuild: Optional[Callable] = None  # () -> fresh matrices (data-dependent batches)
 
     def gather(self, x: Dict[str, Array]) -> Array:
         parts = []
@@ -517,6 +521,16 @@ class Operator:
             d = b.diagonal_into(d)
         return d
 
+    def reassemble(self) -> None:
+        """Recompute data-dependent element matrices in place (jit cache
+        hits -> device execution only).  Geometry-uniform batches are
+        constants and cost nothing — the production inner loop when the
+        level set / coefficients change on a fixed mesh."""
+        for b in self.batches:
+            rb = getattr(b, "rebuild", None)
+            if rb is not None:
+                b.matrices = rb()
+
     def to_dense(self) -> np.ndarray:
         """Dense global matrix (small problems / tests only)."""
         off = self.system.offsets()
@@ -553,9 +567,9 @@ def _prune_batch(segments, mats: Array):
             keep_idx.extend(range(cur, cur + ln))
         cur += ln
     if len(keep_idx) == M.shape[-1]:
-        return segments, mats
+        return segments, mats, None
     idx = np.asarray(keep_idx, np.int64)
-    return keep_segments, jnp.asarray(M[:, idx][:, :, idx])
+    return keep_segments, jnp.asarray(M[:, idx][:, :, idx]), idx
 
 
 def assemble_operator(
@@ -573,7 +587,7 @@ def assemble_operator(
 
     for term, data in cell_terms:
         data = _normalize_data(data)
-        local, cell_data, ntot, layout = _cell_local_fn(system, term, grid, data)
+        local, cell_data, ntot, layout, fn_data = _cell_local_fn(system, term, grid, data)
         zeros = jnp.zeros(ntot, _float_dtype())
         mat_fn = jax.jacfwd(jax.grad(local, argnums=1), argnums=0)
         if term.uniform:
@@ -583,7 +597,7 @@ def assemble_operator(
             mats = jax.jit(jax.vmap(lambda c: mat_fn(zeros, zeros, c)))(cd)
             cells = _region_cells(grid, cell_tags, term.region)
             cells_j = jnp.asarray(cells)
-            segs, mats = _prune_batch(_segments_for_cells(system, cells_j), mats)
+            segs, mats, _ = _prune_batch(_segments_for_cells(system, cells_j), mats)
             if not segs:
                 continue  # term is identically zero (e.g. P1 Laplacian stab)
             if (
@@ -605,11 +619,22 @@ def assemble_operator(
         else:
             cells = _region_cells(grid, cell_tags, term.region)
             cells_j = jnp.asarray(cells)
-            cd = cell_data(cells_j)
-            mats = jax.jit(jax.vmap(lambda c: mat_fn(zeros, zeros, c)))(cd)
-            segs, mats = _prune_batch(_segments_for_cells(system, cells_j), mats)
+            fn = jax.jit(jax.vmap(lambda c: mat_fn(zeros, zeros, c)))
+            mats = fn(cell_data(cells_j))
+            segs, mats, keep = _prune_batch(_segments_for_cells(system, cells_j), mats)
             if segs:
-                batches.append(Batch(segs, mats))
+                core = jax.jit(
+                    lambda arrays, _cd=cell_data, _c=cells_j, _f=fn, _k=keep: (
+                        _f(_cd(_c, arrays))
+                        if _k is None
+                        else _f(_cd(_c, arrays))[:, _k][:, :, _k]
+                    )
+                )
+
+                def rebuild(core=core, fn_data=fn_data):
+                    return core({k: f.data for k, f in fn_data.items()})
+
+                batches.append(Batch(segs, mats, rebuild=rebuild))
 
     f2c_np = None
     for term, data in facet_terms:
@@ -627,13 +652,14 @@ def assemble_operator(
         k1 = grid.local_facet_index(c1, facets_j)
         normals = grid.facet_base_normals[facets_j]
 
-        local, facet_data, ntot, layout = _facet_local_fn(
+        local, facet_data, ntot, layout, fn_data = _facet_local_fn(
             system, term, grid, data, one_sided=False
         )
         cd = facet_data(facets_j, (c0, c1), (k0, k1), normals)
         zeros = jnp.zeros(ntot, _float_dtype())
         mat_fn = jax.jacfwd(jax.grad(local, argnums=1), argnums=0)
-        mats = jax.jit(jax.vmap(lambda c: mat_fn(zeros, zeros, c)))(cd)
+        fn = jax.jit(jax.vmap(lambda c: mat_fn(zeros, zeros, c)))
+        mats = fn(cd)
         segs = [
             (n, s.cell_dofs[c0], tuple(s.value_shape))
             for n, s in system.fields.items()
@@ -641,24 +667,47 @@ def assemble_operator(
             (n, s.cell_dofs[c1], tuple(s.value_shape))
             for n, s in system.fields.items()
         ]
-        segs, mats = _prune_batch(segs, mats)
+        segs, mats, keep = _prune_batch(segs, mats)
         if segs:
-            batches.append(Batch(segs, mats))
+            core = jax.jit(
+                lambda arrays, _fd=facet_data, _f=fn, _k=keep, _a=(facets_j, (c0, c1), (k0, k1), normals): (
+                    _f(_fd(*_a, arrays=arrays))
+                    if _k is None
+                    else _f(_fd(*_a, arrays=arrays))[:, _k][:, :, _k]
+                )
+            )
+
+            def rebuild(core=core, fn_data=fn_data):
+                return core({k: f.data for k, f in fn_data.items()})
+
+            batches.append(Batch(segs, mats, rebuild=rebuild))
 
     for term, data in boundary_terms:
         data = _normalize_data(data)
         fl = term.facets
-        local, facet_data, ntot, layout = _facet_local_fn(
+        local, facet_data, ntot, layout, fn_data = _facet_local_fn(
             system, term, grid, data, one_sided=True
         )
         normals = fl.normals
         cd = facet_data(fl.facets, (fl.cells,), (fl.local_facets,), normals)
         zeros = jnp.zeros(ntot, _float_dtype())
         mat_fn = jax.jacfwd(jax.grad(local, argnums=1), argnums=0)
-        mats = jax.jit(jax.vmap(lambda c: mat_fn(zeros, zeros, c)))(cd)
-        segs, mats = _prune_batch(_segments_for_cells(system, fl.cells), mats)
+        fn = jax.jit(jax.vmap(lambda c: mat_fn(zeros, zeros, c)))
+        mats = fn(cd)
+        segs, mats, keep = _prune_batch(_segments_for_cells(system, fl.cells), mats)
         if segs:
-            batches.append(Batch(segs, mats))
+            core = jax.jit(
+                lambda arrays, _fd=facet_data, _f=fn, _k=keep, _a=(fl.facets, (fl.cells,), (fl.local_facets,), fl.normals): (
+                    _f(_fd(*_a, arrays=arrays))
+                    if _k is None
+                    else _f(_fd(*_a, arrays=arrays))[:, _k][:, :, _k]
+                )
+            )
+
+            def rebuild(core=core, fn_data=fn_data):
+                return core({k: f.data for k, f in fn_data.items()})
+
+            batches.append(Batch(segs, mats, rebuild=rebuild))
 
     return Operator(system, batches)
 
@@ -679,7 +728,7 @@ def assemble_vector(
 
     for term, data in cell_terms:
         data = _normalize_data(data)
-        local, cell_data, ntot, layout = _cell_local_fn(system, term, grid, data)
+        local, cell_data, ntot, layout, fn_data = _cell_local_fn(system, term, grid, data)
         cells = _region_cells(grid, cell_tags, term.region)
         cells_j = jnp.asarray(cells)
         cd = cell_data(cells_j)
@@ -692,7 +741,7 @@ def assemble_vector(
     for term, data in boundary_terms:
         data = _normalize_data(data)
         fl = term.facets
-        local, facet_data, ntot, layout = _facet_local_fn(
+        local, facet_data, ntot, layout, fn_data = _facet_local_fn(
             system, term, grid, data, one_sided=True
         )
         cd = facet_data(fl.facets, (fl.cells,), (fl.local_facets,), fl.normals)
@@ -724,7 +773,7 @@ def assemble_scalar(
             region=term.region,
             degree=term.degree,
         )
-        local, cell_data, ntot, layout = _cell_local_fn(sys0, wrapped, grid, data)
+        local, cell_data, ntot, layout, fn_data = _cell_local_fn(sys0, wrapped, grid, data)
         cells = _region_cells(grid, cell_tags, term.region)
         cells_j = jnp.asarray(cells)
         cd = cell_data(cells_j)
@@ -742,7 +791,7 @@ def assemble_scalar(
             facets=fl,
             npts=term.npts,
         )
-        local, facet_data, ntot, layout = _facet_local_fn(
+        local, facet_data, ntot, layout, _ = _facet_local_fn(
             sys0, wrapped, grid, data, one_sided=True
         )
         cd = facet_data(fl.facets, (fl.cells,), (fl.local_facets,), fl.normals)
@@ -769,7 +818,7 @@ def assemble_cellwise(
         region=term.region,
         degree=term.degree,
     )
-    local, cell_data, ntot, layout = _cell_local_fn(sys0, wrapped, grid, data)
+    local, cell_data, ntot, layout, fn_data = _cell_local_fn(sys0, wrapped, grid, data)
     cells = _region_cells(grid, cell_tags, term.region)
     cells_j = jnp.asarray(cells)
     cd = cell_data(cells_j)

@@ -59,6 +59,16 @@ class CellType(str, enum.Enum):
     quadrilateral = "quadrilateral"
 
 
+
+def _const(x) -> Array:
+    """Upload a host table as a device constant, escaping any active trace
+    (cached_property tables may first be touched inside a jit trace; without
+    this the cache would capture a tracer and leak it)."""
+    import jax
+
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(x)
+
 def _as_cell_type(cell_type) -> CellType:
     if isinstance(cell_type, CellType):
         return cell_type
@@ -377,62 +387,62 @@ class Grid:
     # ----------------------------------------------------- device constants
     @cached_property
     def vertex_coords(self) -> Array:
-        return jnp.asarray(self.vertex_coords_np)
+        return _const(self.vertex_coords_np)
 
     @cached_property
     def cell_vertices(self) -> Array:
-        return jnp.asarray(self.cell_vertices_np)
+        return _const(self.cell_vertices_np)
 
     @cached_property
     def cell_orientations(self) -> Array:
-        return jnp.asarray(self.cell_orientations_np)
+        return _const(self.cell_orientations_np)
 
     @cached_property
     def cell_origins(self) -> Array:
-        return jnp.asarray(self.cell_origins_np)
+        return _const(self.cell_origins_np)
 
     @cached_property
     def cell_vertex_coords(self) -> Array:
-        return jnp.asarray(self.vertex_coords_np[self.cell_vertices_np])
+        return _const(self.vertex_coords_np[self.cell_vertices_np])
 
     @cached_property
     def cell_midpoints(self) -> Array:
-        return jnp.asarray(self.vertex_coords_np[self.cell_vertices_np].mean(axis=1))
+        return _const(self.vertex_coords_np[self.cell_vertices_np].mean(axis=1))
 
     @cached_property
     def c2f(self) -> Array:
-        return jnp.asarray(self.c2f_np)
+        return _const(self.c2f_np)
 
     @cached_property
     def f2c(self) -> Array:
-        return jnp.asarray(self.f2c_np)
+        return _const(self.f2c_np)
 
     @cached_property
     def facet_kind(self) -> Array:
-        return jnp.asarray(self.facet_kind_np)
+        return _const(self.facet_kind_np)
 
     @cached_property
     def facet_base_normals(self) -> Array:
-        return jnp.asarray(self.facet_base_normals_np)
+        return _const(self.facet_base_normals_np)
 
     @cached_property
     def facet_lengths(self) -> Array:
-        return jnp.asarray(self.facet_lengths_np)
+        return _const(self.facet_lengths_np)
 
     @cached_property
     def facet_endpoints(self) -> Array:
-        return jnp.asarray(self.facet_endpoints_np)
+        return _const(self.facet_endpoints_np)
 
     @cached_property
     def facet_midpoints(self) -> Array:
-        return jnp.asarray(self.facet_endpoints_np.mean(axis=1))
+        return _const(self.facet_endpoints_np.mean(axis=1))
 
     @cached_property
     def boundary_facet_mask(self) -> Array:
-        return jnp.asarray(self.boundary_facet_mask_np)
+        return _const(self.boundary_facet_mask_np)
 
     def local_facet_index(self, cells, facets) -> Array:
-        return jnp.asarray(
+        return _const(
             self.local_facet_index_np(np.asarray(cells), np.asarray(facets))
         )
 

@@ -65,6 +65,32 @@ class SchemeBase:
             return self.tags.boundaries_measure(100)
         return self.submesh.exterior
 
+    # ------------------------------------------------------ multigrid
+    def mg_preconditioner(self, min_n: int = 8, **vcycle_kw):
+        """Geometric V-cycle preconditioner with re-discretized (re-tagged,
+        re-assembled) coarse levels — the CutFEM multigrid design.  Requires
+        ``setup``+``assemble`` to have run; each scheme's setup records its
+        arguments so coarse levels rebuild the same problem."""
+        import dataclasses as _dc
+
+        import jax
+
+        from ..mg import build_hierarchy
+        from ..solvers import masked_operator
+
+        def make_level(grid: Grid):
+            if grid is self.grid:
+                s = self
+            else:
+                s = _dc.replace(self, grid=grid)
+                s.setup(*self._setup_args)
+                s.assemble()
+            mv, diag, active = masked_operator(s.op, getattr(s, "bcs", ()))
+            inv = jax.tree.map(lambda d: 1.0 / d, diag)
+            return mv, inv, active
+
+        return build_hierarchy(self.grid, make_level, min_n=min_n, **vcycle_kw)
+
     # ------------------------------------------------------------- errors
     def l2_h1_errors(
         self,

@@ -106,6 +106,7 @@ class InterfaceElasticity(SchemeBase):
         self.bcs = (
             DirichletBC("u_in", bmask[:, None], self.u_dbc.data),
         )
+        self._setup_args = (levelset, f, u_dbc)
         return self
 
     def assemble(self):

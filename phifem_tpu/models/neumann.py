@@ -66,6 +66,7 @@ class NeumannPoisson(SchemeBase):
         self.phi_h = levelset if isinstance(levelset, Function) else interpolate(levelset, Vphi)
         self.f_h = f if isinstance(f, Function) else interpolate(f, V)
         self.u_N = u_N if isinstance(u_N, Function) else interpolate(u_N, V)
+        self._setup_args = (levelset, f, u_N, detection_levelset)
         return self
 
     def _flux_factor(self, w, d, ctx):

@@ -54,6 +54,7 @@ class RobinPoisson(SchemeBase):
         self.phi_h = levelset if isinstance(levelset, Function) else interpolate(levelset, Vphi)
         self.f_h = f if isinstance(f, Function) else interpolate(f, V)
         self.u_R = u_R if isinstance(u_R, Function) else interpolate(u_R, V)
+        self._setup_args = (levelset, f, u_R, detection_levelset)
         return self
 
     def _flux_factor(self, w, d, ctx):

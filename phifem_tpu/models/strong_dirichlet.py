@@ -69,6 +69,7 @@ class StrongDirichletPoisson(SchemeBase):
         self.system = System({"w": V})
         self.phi_h = levelset if isinstance(levelset, Function) else interpolate(levelset, Vphi)
         self.f_h = f if isinstance(f, Function) else interpolate(f, V)
+        self._setup_args = (levelset, f, detection_levelset)
         return self
 
     def assemble(self):

@@ -65,6 +65,7 @@ class WeakDirichletPoisson(SchemeBase):
         if u_D is None:
             u_D = lambda x: jnp.zeros(x.shape[:-1])
         self.u_D = u_D if isinstance(u_D, Function) else interpolate(u_D, V)
+        self._setup_args = (levelset, f, u_D, detection_levelset)
         return self
 
     def assemble(self):

@@ -134,17 +134,50 @@ def solve(
     atol: float = 0.0,
     maxiter: Optional[int] = None,
     x0: Optional[Dict[str, Array]] = None,
+    precond: Optional[Callable] = None,
 ) -> SolveResult:
-    """Solve ``A x = b`` with Jacobi-preconditioned Krylov iterations (or a
-    dense LU fallback with ``method="dense"`` for small/tests)."""
+    """Solve ``A x = b`` with preconditioned Krylov iterations (or a dense
+    LU fallback with ``method="dense"`` for small/tests).
+
+    ``precond`` overrides the default Jacobi preconditioner (e.g. a
+    :class:`phifem_tpu.mg.VCycle`)."""
     matvec, diag, active = masked_operator(op, bcs)
     b = lift_rhs(op, b, bcs, active)
 
     if method == "dense":
         return _dense_solve(op, b, bcs, active)
 
-    inv_diag = jax.tree.map(lambda d: 1.0 / d, diag)
-    M = lambda x: jax.tree.map(lambda xi, di: xi * di, x, inv_diag)
+    # Symmetric diagonal equilibration: phi-FEM penalty rows scale like
+    # h^-3 against O(1) stiffness rows; solving D^-1/2 A D^-1/2 y = D^-1/2 b
+    # compresses that dynamic range, which matters in float32 where the raw
+    # system's Krylov recurrences stall several digits early.
+    dsqrt = jax.tree.map(
+        lambda d: jnp.sqrt(jnp.where(jnp.abs(d) > 1e-30, jnp.abs(d), 1.0)), diag
+    )
+    dinv_sqrt = jax.tree.map(lambda d: 1.0 / d, dsqrt)
+    raw_matvec = matvec
+
+    def matvec(y):
+        xs = jax.tree.map(lambda yi, di: yi * di, y, dinv_sqrt)
+        z = raw_matvec(xs)
+        return jax.tree.map(lambda zi, di: zi * di, z, dinv_sqrt)
+
+    b = jax.tree.map(lambda bi, di: bi * di, b, dinv_sqrt)
+
+    if precond is not None:
+        # wrap a preconditioner P ~ A^-1 of the unscaled system:
+        # M = D^1/2 P D^1/2 ~ (D^-1/2 A D^-1/2)^-1
+        M = lambda r: jax.tree.map(
+            lambda vi, di: vi * di,
+            precond(jax.tree.map(lambda ri, di: ri * di, r, dsqrt)),
+            dsqrt,
+        )
+    else:
+        # scaled system has unit diagonal
+        M = lambda r: r
+
+    if x0 is not None:
+        x0 = jax.tree.map(lambda xi, di: xi * di, x0, dsqrt)
 
     if maxiter is None:
         maxiter = 25 * int(np.sqrt(op.system.num_dofs)) + 1000
@@ -169,6 +202,8 @@ def solve(
     rnorm = float(jnp.sqrt(tree_dot(r, r)))
     bnorm = float(jnp.sqrt(tree_dot(b, b)))
     rel = rnorm / bnorm if bnorm > 0 else rnorm
+    # undo the equilibration change of variables: x = D^-1/2 y
+    x = jax.tree.map(lambda yi, di: yi * di, x, dinv_sqrt)
     return SolveResult(x=x, residual=rel, iterations=-1, converged=rel <= 10 * tol)
 
 

@@ -142,7 +142,9 @@ class Space:
 
     @cached_property
     def cell_dofs(self) -> Array:
-        return jnp.asarray(self.cell_dofs_np)
+        from .grid import _const
+
+        return _const(self.cell_dofs_np)
 
     @cached_property
     def dof_coords_np(self) -> np.ndarray:
@@ -181,7 +183,9 @@ class Space:
 
     @cached_property
     def dof_coords(self) -> Array:
-        return jnp.asarray(self.dof_coords_np)
+        from .grid import _const
+
+        return _const(self.dof_coords_np)
 
     # --------------------------------------------------- jnp basis evaluation
     def _basis_jnp(self, ref_pts: Array, deriv: int = 0) -> Array:

@@ -37,6 +37,7 @@ import os
 import warnings
 from typing import Dict, List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -127,8 +128,7 @@ def _boundary_trace_cut(
     f2c = grid.f2c_np[bf]
     owner = np.max(f2c, axis=1).astype(np.int32)  # the single adjacent cell
     owner_j = jnp.asarray(owner)
-    bf_j = jnp.asarray(bf)
-    local = grid.local_facet_index(owner_j, bf_j)  # (nbf,)
+    local = jnp.asarray(grid.local_facet_index_np(owner, bf))  # host constants
     ref_table = jnp.asarray(
         lsmod.facet_ref_points(grid.cell_type, detection_degree)
     )  # (nfpc, npts, 2)
@@ -309,6 +309,29 @@ class TagsMeasures:
         )
 
 
+from functools import partial
+
+
+@partial(
+    jax.jit,
+    static_argnames=("grid", "degree", "single_layer_cut", "ls_call", "ls_space"),
+)
+def _tags_jit(grid, degree, single_layer_cut, ls_call, ls_space, ls_data):
+    """One compiled kernel for the full (cell, facet) tagging pipeline.
+
+    The level set is either a static callable (``ls_call``) or a discrete
+    field given by a static space + dynamic coefficient array — keeping
+    coefficients dynamic lets a convergence loop re-tag with new data
+    without recompiling.
+    """
+    from .spaces import Function as _Function
+
+    ls = ls_call if ls_call is not None else _Function(ls_space, ls_data)
+    cells = tag_cells(grid, ls, degree, single_layer_cut)
+    facets = tag_facets(grid, cells, ls, degree)
+    return cells, facets
+
+
 def compute_tags_measures(
     grid: Grid,
     levelset: LevelSet,
@@ -324,8 +347,17 @@ def compute_tags_measures(
     :class:`~phifem_tpu.spaces.Function`; ``overwrite`` optionally maps
     ``{"cells": {tag: indices}, "facets": {tag: indices}}``.
     """
-    cells = tag_cells(grid, levelset, detection_degree, single_layer_cut)
-    facets = tag_facets(grid, cells, levelset, detection_degree)
+    from .spaces import Function as _Function
+
+    if isinstance(levelset, _Function):
+        cells, facets = _tags_jit(
+            grid, detection_degree, single_layer_cut, None,
+            levelset.space, levelset.data,
+        )
+    else:
+        cells, facets = _tags_jit(
+            grid, detection_degree, single_layer_cut, levelset, None, None
+        )
 
     cells_tags = EntityTags("cell", cells)
     facets_tags = EntityTags("facet", facets)
