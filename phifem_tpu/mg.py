@@ -88,6 +88,20 @@ class Level:
     matvec: Callable  # masked operator matvec on this level
     inv_diag: Dict[str, Array]
     active: Dict[str, Array]
+    coarse_inv: Optional[Array] = None  # dense pseudo-inverse (coarsest only)
+    field_shapes: Optional[Dict[str, Tuple[int, ...]]] = None
+
+    def pack(self, x: Dict[str, Array]) -> Array:
+        return jnp.concatenate([x[k].reshape(-1) for k in sorted(x)])
+
+    def unpack(self, v: Array) -> Dict[str, Array]:
+        out, cur = {}, 0
+        for k in sorted(self.field_shapes):
+            sh = self.field_shapes[k]
+            n = int(np.prod(sh))
+            out[k] = v[cur : cur + n].reshape(sh)
+            cur += n
+        return out
 
 
 @dataclasses.dataclass
@@ -117,6 +131,10 @@ class VCycle:
         lvl = self.levels[k]
         zero = jax.tree.map(jnp.zeros_like, b)
         if k == len(self.levels) - 1:
+            if lvl.coarse_inv is not None:
+                # exact coarse solve via precomputed pseudo-inverse — the
+                # multigrid analogue of the reference's MUMPS null-pivot LU
+                return lvl.unpack(lvl.coarse_inv @ lvl.pack(b))
             return self._smooth(lvl, zero, b, self.coarse_sweeps)
         x = self._smooth(lvl, zero, b, self.pre_smooth)
         r = jax.tree.map(lambda bi, ai: bi - ai, b, lvl.matvec(x))
@@ -162,18 +180,48 @@ class VCycle:
         return self._cycle(0, b)
 
 
+def _coarse_pinv(op, active) -> Array:
+    """Masked dense pseudo-inverse of the coarsest operator, with rows and
+    columns permuted into sorted-field-name order (the pack/unpack layout).
+    Pseudo-inverse handles the numerically-null penalty pivots the same way
+    the reference configures MUMPS (icntl 24/25)."""
+    A = op.to_dense()
+    off = op.system.offsets()
+    n = op.system.num_dofs
+    act = np.zeros(n, bool)
+    for name, s in op.system.fields.items():
+        sl = slice(off[name], off[name] + s.num_dofs)
+        act[sl] = np.broadcast_to(np.asarray(active[name]), s.dof_shape).reshape(-1)
+    A[~act, :] = 0.0
+    A[:, ~act] = 0.0
+    A[~act, ~act] = 1.0
+    perm = np.concatenate(
+        [
+            np.arange(off[name], off[name] + op.system.fields[name].num_dofs)
+            for name in sorted(op.system.fields)
+        ]
+    )
+    A = A[np.ix_(perm, perm)]
+    return jnp.asarray(np.linalg.pinv(A, rcond=1e-12))
+
+
 def build_hierarchy(
     fine_grid: Grid,
-    make_level: Callable[[Grid], Tuple[Callable, Dict, Dict]],
+    make_level: Callable[[Grid], Tuple],
     min_n: int = 8,
+    dense_coarse: bool = True,
+    max_coarse_dofs: int = 6000,
     **vcycle_kw,
 ) -> VCycle:
     """Build a V-cycle from a level factory.
 
-    ``make_level(grid) -> (matvec, inv_diag, active)`` re-discretizes the
-    problem on each coarser grid (with its own tagging).  Coarsening stops
-    when nx or ny would drop below ``min_n`` or become odd.
+    ``make_level(grid) -> (op, bcs)`` re-discretizes the problem on each
+    coarser grid (with its own tagging).  Coarsening stops when nx or ny
+    would drop below ``min_n`` or become odd.  The coarsest level gets an
+    exact dense (pseudo-inverse) solve when small enough.
     """
+    from .solvers import masked_operator
+
     grids = [fine_grid]
     g = fine_grid
     while (
@@ -187,11 +235,26 @@ def build_hierarchy(
 
     levels = []
     vertex_fields: Optional[Tuple[str, ...]] = None
-    for g in grids:
-        matvec, inv_diag, active = make_level(g)
+    for i, g in enumerate(grids):
+        op, bcs = make_level(g)
+        matvec, diag, active = masked_operator(op, bcs)
+        inv_diag = jax.tree.map(lambda d: 1.0 / d, diag)
         if vertex_fields is None:
             vertex_fields = tuple(
                 n for n, v in active.items() if v.shape[0] == g.num_vertices
             )
-        levels.append(Level(g, matvec, inv_diag, active))
+        lvl = Level(
+            g,
+            matvec,
+            inv_diag,
+            active,
+            field_shapes={k: tuple(v.shape) for k, v in active.items()},
+        )
+        if (
+            i == len(grids) - 1
+            and dense_coarse
+            and op.system.num_dofs <= max_coarse_dofs
+        ):
+            lvl.coarse_inv = _coarse_pinv(op, active)
+        levels.append(lvl)
     return VCycle(levels, vertex_fields, **vcycle_kw)

@@ -73,10 +73,7 @@ class SchemeBase:
         arguments so coarse levels rebuild the same problem."""
         import dataclasses as _dc
 
-        import jax
-
         from ..mg import build_hierarchy
-        from ..solvers import masked_operator
 
         def make_level(grid: Grid):
             if grid is self.grid:
@@ -85,9 +82,7 @@ class SchemeBase:
                 s = _dc.replace(self, grid=grid)
                 s.setup(*self._setup_args)
                 s.assemble()
-            mv, diag, active = masked_operator(s.op, getattr(s, "bcs", ()))
-            inv = jax.tree.map(lambda d: 1.0 / d, diag)
-            return mv, inv, active
+            return s.op, getattr(s, "bcs", ())
 
         return build_hierarchy(self.grid, make_level, min_n=min_n, **vcycle_kw)
 

@@ -62,9 +62,33 @@ class StencilCellBatch:
     def _offs(self, o: int):
         return _TRI_OFFS[o] if self.grid.is_simplex else _QUAD_OFFS
 
+    def _use_pallas(self, dtype) -> bool:
+        import os
+
+        import jax
+
+        if os.environ.get("PHIFEM_PALLAS", "1") != "1":
+            return False
+        # the fused Mosaic kernel needs a real TPU backend and a VPU dtype
+        return jax.default_backend() not in ("cpu",) and dtype in (
+            jnp.float32,
+            jnp.bfloat16,
+        )
+
     def matvec_into(self, x: Dict[str, Array], y: Dict[str, Array]) -> Dict[str, Array]:
         g = self.grid
         ny, nx = g.ny, g.nx
+        if self._use_pallas(x[self.field].dtype):
+            from .pallas_stencil import stencil_matvec_pallas
+
+            yk = stencil_matvec_pallas(
+                g,
+                x[self.field],
+                self.masks.astype(x[self.field].dtype),
+                self.matrices.astype(x[self.field].dtype),
+            )
+            y[self.field] = y[self.field] + yk
+            return y
         X = x[self.field].reshape(ny + 1, nx + 1)
         Y = y[self.field].reshape(ny + 1, nx + 1)
         for o in range(self.matrices.shape[0]):
