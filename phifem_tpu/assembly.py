@@ -478,6 +478,32 @@ class Batch:
         dloc = jnp.broadcast_to(dloc, (ne, dloc.shape[-1]))
         return self.scatter_add(d, dloc)
 
+    def add_dense_restricted(
+        self, A: np.ndarray, offsets: Dict[str, int], idx_of: np.ndarray, m: int
+    ) -> None:
+        """Accumulate this batch's entries into the (m+1, m+1) padded dense
+        submatrix over selected flat DoFs (idx_of maps global flat id ->
+        compact index, -1 = unselected -> padded slot m)."""
+        ne = self.segments[0][1].shape[0]
+        gidx = []
+        for name, dofs, vs in self.segments:
+            vsz = int(np.prod(vs)) if vs else 1
+            base = offsets[name] + np.asarray(dofs)[..., None] * vsz
+            comp = np.arange(vsz)[None, None, :]
+            gidx.append((base + comp).reshape(ne, -1))
+        gidx = np.concatenate(gidx, axis=1)
+        l = idx_of[gidx]
+        keep = (l >= 0).any(axis=1)
+        if not keep.any():
+            return
+        l = np.where(l >= 0, l, m)[keep]
+        if self.orient is None:
+            mats = np.asarray(self.matrices)
+            mats = np.broadcast_to(mats, (ne,) + mats.shape[-2:])[keep]
+        else:
+            mats = np.asarray(self.matrices)[np.asarray(self.orient)[keep]]
+        np.add.at(A, (l[:, :, None], l[:, None, :]), mats)
+
     def add_dense(self, A: np.ndarray, offsets: Dict[str, int]) -> None:
         mats = np.asarray(
             self.matrices if self.orient is None else self.matrices[np.asarray(self.orient)]
@@ -530,6 +556,26 @@ class Operator:
             rb = getattr(b, "rebuild", None)
             if rb is not None:
                 b.matrices = rb()
+
+    def restricted_dense(self, sel: Dict[str, np.ndarray]):
+        """Dense submatrix of the operator over selected DoFs (boolean
+        masks per field, shaped like the DoF arrays).  Used for the exact
+        interface (cut-block) solve in the multigrid preconditioner."""
+        off = self.system.offsets()
+        n = self.system.num_dofs
+        gsel = np.zeros(n, bool)
+        for name, s in self.system.fields.items():
+            gsel[off[name] : off[name] + s.num_dofs] = np.broadcast_to(
+                np.asarray(sel[name]), s.dof_shape
+            ).reshape(-1)
+        ids = np.where(gsel)[0]
+        idx_of = -np.ones(n, np.int64)
+        idx_of[ids] = np.arange(len(ids))
+        m = len(ids)
+        A = np.zeros((m + 1, m + 1))
+        for b in self.batches:
+            b.add_dense_restricted(A, off, idx_of, m)
+        return A[:m, :m], ids
 
     def to_dense(self) -> np.ndarray:
         """Dense global matrix (small problems / tests only)."""

@@ -73,7 +73,10 @@ class SchemeBase:
         arguments so coarse levels rebuild the same problem."""
         import dataclasses as _dc
 
-        from ..mg import build_hierarchy
+        from ..mg import attach_interface_solve, build_hierarchy
+        from ..solvers import masked_operator
+
+        interface = vcycle_kw.pop("interface", True)
 
         def make_level(grid: Grid):
             if grid is self.grid:
@@ -84,7 +87,11 @@ class SchemeBase:
                 s.assemble()
             return s.op, getattr(s, "bcs", ())
 
-        return build_hierarchy(self.grid, make_level, min_n=min_n, **vcycle_kw)
+        vc = build_hierarchy(self.grid, make_level, min_n=min_n, **vcycle_kw)
+        if interface:
+            _, _, active = masked_operator(self.op, getattr(self, "bcs", ()))
+            vc = attach_interface_solve(vc, self.op, active)
+        return vc
 
     # ------------------------------------------------------------- errors
     def l2_h1_errors(

@@ -115,6 +115,27 @@ class StencilCellBatch:
         d[self.field] = D.reshape(-1)
         return d
 
+    def add_dense_restricted(
+        self, A: np.ndarray, offsets: Dict[str, int], idx_of: np.ndarray, m: int
+    ) -> None:
+        """Vectorized restricted dense accumulation (see Batch) — only cells
+        whose mask is set and that touch a selected DoF contribute."""
+        g = self.grid
+        off = offsets[self.field]
+        cv = np.asarray(g.cell_vertices_np)
+        orient = np.asarray(g.cell_orientations_np)
+        masks = np.asarray(self.masks).reshape(self.masks.shape[0], -1)
+        mats = np.asarray(self.matrices)
+        block = np.arange(g.num_cells) // (2 if g.is_simplex else 1)
+        active = masks[orient, block] > 0.0
+        gidx = off + cv  # (nc, nloc) — scalar field
+        l = idx_of[gidx]
+        keep = active & (l >= 0).any(axis=1)
+        if not keep.any():
+            return
+        l = np.where(l >= 0, l, m)[keep]
+        np.add.at(A, (l[:, :, None], l[:, None, :]), mats[orient[keep]])
+
     def add_dense(self, A: np.ndarray, offsets: Dict[str, int]) -> None:
         g = self.grid
         off = offsets[self.field]
