@@ -86,9 +86,9 @@ def main():
     t_mg_setup = time.perf_counter() - t0
 
     # ---- solve (warm-up once for compile, then timed)
-    r0 = s.solve(method="bicgstab", tol=tol, maxiter=500, precond=vc)
+    r0 = s.solve(method="bicgstab", tol=tol, maxiter=60, precond=vc)
     t0 = time.perf_counter()
-    r = s.solve(method="bicgstab", tol=tol, maxiter=500, precond=vc)
+    r = s.solve(method="bicgstab", tol=tol, maxiter=60, precond=vc)
     t_solve = time.perf_counter() - t0
 
     # ---- matvec kernel throughput

@@ -556,6 +556,9 @@ class Operator:
             rb = getattr(b, "rebuild", None)
             if rb is not None:
                 b.matrices = rb()
+        # compiled solver runners captured the old matrices at trace time
+        if hasattr(self, "_solve_cache"):
+            self._solve_cache.clear()
 
     def restricted_dense(self, sel: Dict[str, np.ndarray]):
         """Dense submatrix of the operator over selected DoFs (boolean

@@ -171,6 +171,26 @@ def evaluate_at_cell_points(
     return jnp.reshape(vals, phys.shape[:2])
 
 
+def detection_vector(
+    grid: Grid, levelset: LevelSet, detection_degree: int
+) -> Array:
+    """Per-cell detection ratio d = sum_q phi(x_q) / sum_q |phi(x_q)| over
+    the boundary detection lattice — the reference's
+    ``_compute_detection_vector`` (``mesh_scripts.py:95-134``) without the
+    DG0 assembly detour.  Zero-denominator cells are forced to 0.5 (cut),
+    matching the reference's degenerate-cell convention (:121-133).
+
+    The tagging pipeline itself classifies signs directly (see
+    :func:`classify`), which is equivalent and division-free; this function
+    exists for API/diagnostic parity.
+    """
+    pts = detection_points(grid.cell_type, detection_degree)
+    vals = evaluate_on_cells(grid, levelset, pts)
+    num = jnp.sum(vals, axis=1)
+    den = jnp.sum(jnp.abs(vals), axis=1)
+    return jnp.where(den > 0.0, num / jnp.where(den > 0.0, den, 1.0), 0.5)
+
+
 def sign_flags(values: Array) -> Tuple[Array, Array]:
     """(has_pos, has_neg) along the last axis."""
     return jnp.any(values > 0.0, axis=-1), jnp.any(values < 0.0, axis=-1)

@@ -182,26 +182,43 @@ def solve(
     if maxiter is None:
         maxiter = 25 * int(np.sqrt(op.system.num_dofs)) + 1000
 
-    if method == "cg":
-        x, info = jax.scipy.sparse.linalg.cg(
-            matvec, b, x0=x0, tol=tol, atol=atol, maxiter=maxiter, M=M
-        )
-    elif method == "bicgstab":
-        x, info = jax.scipy.sparse.linalg.bicgstab(
-            matvec, b, x0=x0, tol=tol, atol=atol, maxiter=maxiter, M=M
-        )
-    elif method == "gmres":
-        x, info = jax.scipy.sparse.linalg.gmres(
-            matvec, b, x0=x0, tol=tol, atol=atol, maxiter=maxiter, M=M,
-            restart=50, solve_method="batched",
-        )
-    else:
+    solvers = {
+        "cg": jax.scipy.sparse.linalg.cg,
+        "bicgstab": jax.scipy.sparse.linalg.bicgstab,
+        "gmres": jax.scipy.sparse.linalg.gmres,
+    }
+    if method not in solvers:
         raise ValueError(f"Unknown method {method!r}.")
+    kw = dict(tol=tol, atol=atol, maxiter=maxiter, M=M)
+    if method == "gmres":
+        kw.update(restart=50, solve_method="batched")
 
-    r = jax.tree.map(lambda bi, ai: bi - ai, b, matvec(x))
-    rnorm = float(jnp.sqrt(tree_dot(r, r)))
-    bnorm = float(jnp.sqrt(tree_dot(b, b)))
-    rel = rnorm / bnorm if bnorm > 0 else rnorm
+    # jit the whole Krylov iteration (matvec + preconditioner + recurrences)
+    # into one program — essential on remote devices where eager dispatch
+    # latency would otherwise dominate every V-cycle application.  The
+    # compiled runner is memoized on the operator so repeated solves
+    # (convergence loops, benchmarks) skip retracing entirely.
+    cache_key = (method, float(tol), float(atol), int(maxiter), id(precond), len(bcs))
+    cache = getattr(op, "_solve_cache", None)
+    if cache is None:
+        cache = op._solve_cache = {}
+    _run = cache.get(cache_key)
+    if _run is None:
+
+        @jax.jit
+        def _run(b, x0):
+            x, info = solvers[method](matvec, b, x0=x0, **kw)
+            r = jax.tree.map(lambda bi, ai: bi - ai, b, matvec(x))
+            rnorm = jnp.sqrt(tree_dot(r, r))
+            bnorm = jnp.sqrt(tree_dot(b, b))
+            return x, rnorm / jnp.maximum(bnorm, 1e-300)
+
+        cache[cache_key] = _run
+
+    if x0 is None:
+        x0 = jax.tree.map(jnp.zeros_like, b)
+    x, rel = _run(b, x0)
+    rel = float(rel)
     # undo the equilibration change of variables: x = D^-1/2 y
     x = jax.tree.map(lambda yi, di: yi * di, x, dinv_sqrt)
     return SolveResult(x=x, residual=rel, iterations=-1, converged=rel <= 10 * tol)

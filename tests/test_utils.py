@@ -1,0 +1,83 @@
+"""Aux subsystems: I/O round trips, config loading (incl. the reference's S5
+YAML schema), checkpoints, detection-vector parity, profiling."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import phifem_tpu as pf
+from phifem_tpu.levelset import detection_vector
+from phifem_tpu.utils import (
+    Timer,
+    load_checkpoint,
+    load_config,
+    save_checkpoint,
+    write_vtu,
+    write_xdmf,
+)
+
+
+def test_xdmf_roundtrip(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    g = pf.Grid(6, 5, ((0.0, 0.0), (2.0, 1.0)), "triangle")
+    f = pf.interpolate(lambda x: x[..., 0] + 2 * x[..., 1], pf.Space.lagrange(g, 1))
+    tags = np.asarray(pf.tag_cells(g, lambda x: x[..., 0] - 1.0, 1))
+    path = tmp_path / "out.xdmf"
+    write_xdmf(path, g, point_data={"u": f}, cell_data={"tags": tags})
+    with h5py.File(tmp_path / "out.h5") as h5:
+        geo = np.asarray(h5["/Mesh/geometry"])
+        topo = np.asarray(h5["/Mesh/topology"])
+        u = np.asarray(h5["/Function/u"])
+        t = np.asarray(h5["/CellData/tags"])
+    assert geo.shape == (g.num_vertices, 2)
+    assert topo.shape == (g.num_cells, 3)
+    assert np.allclose(u, np.asarray(f.data))
+    assert np.array_equal(t, tags)
+    assert (tmp_path / "out.xdmf").read_text().startswith("<?xml")
+
+
+def test_vtu_writer(tmp_path):
+    g = pf.Grid(4, 4, ((0.0, 0.0), (1.0, 1.0)), "quadrilateral")
+    f = pf.interpolate(lambda x: x[..., 1], pf.Space.lagrange(g, 2))  # downsamples
+    path = tmp_path / "out.vtu"
+    write_vtu(path, g, point_data={"u": f})
+    text = path.read_text()
+    assert "UnstructuredGrid" in text and 'Name="u"' in text
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = tmp_path / "ck.npz"
+    save_checkpoint(path, u=jnp.arange(5.0), tags=np.array([1, 2, 3], np.int8))
+    back = load_checkpoint(path)
+    assert np.allclose(back["u"], np.arange(5.0))
+    assert back["tags"].dtype == np.int8
+
+
+def test_load_reference_s5_yaml():
+    cfg = load_config("demo/interface-elasticity/param1.yaml")
+    assert cfg.initial_mesh_size == 0.2
+    assert cfg.num_iterations == 5
+    assert cfg.mode == "bg"  # box_mode: true
+    assert cfg.bbox == ((-1.5, -1.5), (1.5, 1.5))
+    assert cfg.resolve_resolution() == (15, 15)
+
+
+def test_detection_vector_matches_reference_semantics():
+    g = pf.Grid(10, 10, ((-1.5, -1.5), (1.5, 1.5)), "quadrilateral")
+    phi = lambda x: x[..., 0] + 0.35
+    d = np.asarray(detection_vector(g, phi, 1))
+    tags = np.asarray(pf.tag_cells(g, phi, 1))
+    # d == -1 <-> inside, d == +1 <-> outside, else cut (reference
+    # mesh_scripts.py:343-347)
+    assert np.all(tags[d == -1.0] == 1)
+    assert np.all(tags[d == 1.0] == 3)
+    assert np.all(tags[np.abs(d) < 1.0] == 2)
+
+
+def test_timer():
+    t = Timer()
+    with t.phase("a"):
+        pass
+    assert "a" in t.phases and "total" in t.report()
