@@ -12,7 +12,10 @@ value = pipeline MDoF/s = ndofs / (tag + reassemble + solve) wall seconds,
 vs_baseline anchored at the BASELINE.json north-star 100 MDoF/s stabilized
 assembly (the reference itself publishes no numbers, BASELINE.md).
 
-Runs float32 (TPU serving dtype); float64 accuracy is covered by tests/.
+Runs float64 by default (PHIFEM_X64=1): the reference solves in f64
+(PETSc/MUMPS) and f32 Krylov stalls near 1e-4 relative residual on the
+penalized phi-FEM systems.  The V-cycle preconditioner runs in float32 so
+the Pallas stencil kernel is live on the benched path.
 """
 
 import json
@@ -36,8 +39,8 @@ def main():
     from phifem_tpu.solvers import solve
 
     n = int(os.environ.get("PHIFEM_BENCH_N", "200"))
-    # float32 + symmetric equilibration + geometric-multigrid BiCGStab;
-    # float64 accuracy is covered by the test suite
+    # f64 outer BiCGStab with symmetric equilibration; the geometric
+    # multigrid preconditioner runs in f32 (Pallas stencil path)
     tol = float(os.environ.get("PHIFEM_BENCH_TOL", "1e-8"))
     grid = pf.Grid(n, n, ((-4.5, -4.5), (4.5, 4.5)), pf.CellType.triangle)
 

@@ -478,12 +478,8 @@ class Batch:
         dloc = jnp.broadcast_to(dloc, (ne, dloc.shape[-1]))
         return self.scatter_add(d, dloc)
 
-    def add_dense_restricted(
-        self, A: np.ndarray, offsets: Dict[str, int], idx_of: np.ndarray, m: int
-    ) -> None:
-        """Accumulate this batch's entries into the (m+1, m+1) padded dense
-        submatrix over selected flat DoFs (idx_of maps global flat id ->
-        compact index, -1 = unselected -> padded slot m)."""
+    def entity_global_dofs(self, offsets: Dict[str, int]) -> np.ndarray:
+        """(ne, L) global flat DoF ids per entity (system-offset layout)."""
         ne = self.segments[0][1].shape[0]
         gidx = []
         for name, dofs, vs in self.segments:
@@ -491,7 +487,16 @@ class Batch:
             base = offsets[name] + np.asarray(dofs)[..., None] * vsz
             comp = np.arange(vsz)[None, None, :]
             gidx.append((base + comp).reshape(ne, -1))
-        gidx = np.concatenate(gidx, axis=1)
+        return np.concatenate(gidx, axis=1)
+
+    def add_dense_restricted(
+        self, A: np.ndarray, offsets: Dict[str, int], idx_of: np.ndarray, m: int
+    ) -> None:
+        """Accumulate this batch's entries into the (m+1, m+1) padded dense
+        submatrix over selected flat DoFs (idx_of maps global flat id ->
+        compact index, -1 = unselected -> padded slot m)."""
+        gidx = self.entity_global_dofs(offsets)
+        ne = gidx.shape[0]
         l = idx_of[gidx]
         keep = (l >= 0).any(axis=1)
         if not keep.any():
@@ -503,6 +508,31 @@ class Batch:
         else:
             mats = np.asarray(self.matrices)[np.asarray(self.orient)[keep]]
         np.add.at(A, (l[:, :, None], l[:, None, :]), mats)
+
+    def add_coo_restricted(
+        self, triplets: Tuple[list, list, list], offsets: Dict[str, int], idx_of: np.ndarray
+    ) -> None:
+        """Append (row, col, val) triplets of this batch restricted to the
+        selected DoFs (both endpoints selected) — the O(nnz) alternative to
+        :meth:`add_dense_restricted` for large interface blocks."""
+        gidx = self.entity_global_dofs(offsets)
+        ne = gidx.shape[0]
+        l = idx_of[gidx]
+        keep = (l >= 0).any(axis=1)
+        if not keep.any():
+            return
+        l = l[keep]
+        if self.orient is None:
+            mats = np.asarray(self.matrices)
+            mats = np.broadcast_to(mats, (ne,) + mats.shape[-2:])[keep]
+        else:
+            mats = np.asarray(self.matrices)[np.asarray(self.orient)[keep]]
+        rows = np.broadcast_to(l[:, :, None], mats.shape)
+        cols = np.broadcast_to(l[:, None, :], mats.shape)
+        valid = (rows >= 0) & (cols >= 0)
+        triplets[0].append(rows[valid])
+        triplets[1].append(cols[valid])
+        triplets[2].append(np.asarray(mats)[valid])
 
     def add_dense(self, A: np.ndarray, offsets: Dict[str, int]) -> None:
         mats = np.asarray(
@@ -564,6 +594,14 @@ class Operator:
         """Dense submatrix of the operator over selected DoFs (boolean
         masks per field, shaped like the DoF arrays).  Used for the exact
         interface (cut-block) solve in the multigrid preconditioner."""
+        off, ids, idx_of = self._selection_ids(sel)
+        m = len(ids)
+        A = np.zeros((m + 1, m + 1))
+        for b in self.batches:
+            b.add_dense_restricted(A, off, idx_of, m)
+        return A[:m, :m], ids
+
+    def _selection_ids(self, sel: Dict[str, np.ndarray]):
         off = self.system.offsets()
         n = self.system.num_dofs
         gsel = np.zeros(n, bool)
@@ -574,11 +612,28 @@ class Operator:
         ids = np.where(gsel)[0]
         idx_of = -np.ones(n, np.int64)
         idx_of[ids] = np.arange(len(ids))
+        return off, ids, idx_of
+
+    def restricted_csr(self, sel: Dict[str, np.ndarray]):
+        """Sparse (CSR) submatrix of the operator over selected DoFs —
+        O(nnz) memory, used by the scalable interface-block preconditioner
+        (the dense variant caps out on fine grids)."""
+        import scipy.sparse as sp
+
+        off, ids, idx_of = self._selection_ids(sel)
         m = len(ids)
-        A = np.zeros((m + 1, m + 1))
+        triplets = ([], [], [])
         for b in self.batches:
-            b.add_dense_restricted(A, off, idx_of, m)
-        return A[:m, :m], ids
+            b.add_coo_restricted(triplets, off, idx_of)
+        if triplets[0]:
+            rows = np.concatenate(triplets[0])
+            cols = np.concatenate(triplets[1])
+            vals = np.concatenate(triplets[2])
+        else:
+            rows = cols = np.zeros(0, np.int64)
+            vals = np.zeros(0)
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsr()
+        return A, ids
 
     def to_dense(self) -> np.ndarray:
         """Dense global matrix (small problems / tests only)."""
@@ -772,7 +827,9 @@ def assemble_vector(
 ) -> Dict[str, Array]:
     """Assemble a linear form into a DoF vector (reference
     ``assemble_vector``, N7).  Integrand signatures drop the trial dict:
-    ``integrand(v, data, x, ctx)`` etc."""
+    cell ``integrand(v, data, x, ctx)``, interior facet
+    ``integrand(v0, v1, data0, data1, x, n, ctx)``, boundary
+    ``integrand(v, data, x, n, ctx)``."""
     b = system.zeros()
 
     for term, data in cell_terms:
@@ -785,6 +842,30 @@ def assemble_vector(
         vec_fn = jax.grad(lambda v, c: local(None, v, c), argnums=0)
         vecs = jax.jit(jax.vmap(lambda c: vec_fn(zeros, c)))(cd)
         batch = Batch(_segments_for_cells(system, cells_j), None)
+        b = batch.scatter_add(b, vecs)
+
+    for term, data in facet_terms:
+        data = _normalize_data(data)
+        f2c_np = grid.f2c_np
+        ftags = np.asarray(facet_tags)
+        sel = np.isin(ftags, np.asarray(term.region))
+        sel &= np.all(f2c_np >= 0, axis=1)  # interior facets only (dS)
+        facets = np.where(sel)[0].astype(np.int32)
+        facets_j = jnp.asarray(facets)
+        c0 = jnp.asarray(f2c_np[facets, 0])
+        c1 = jnp.asarray(f2c_np[facets, 1])
+        k0 = grid.local_facet_index(c0, facets_j)
+        k1 = grid.local_facet_index(c1, facets_j)
+        normals = grid.facet_base_normals[facets_j]
+        local, facet_data, ntot, layout, fn_data = _facet_local_fn(
+            system, term, grid, data, one_sided=False
+        )
+        cd = facet_data(facets_j, (c0, c1), (k0, k1), normals)
+        zeros = jnp.zeros(ntot, _float_dtype())
+        vec_fn = jax.grad(lambda v, c: local(None, v, c), argnums=0)
+        vecs = jax.jit(jax.vmap(lambda c: vec_fn(zeros, c)))(cd)
+        segs = _segments_for_cells(system, c0) + _segments_for_cells(system, c1)
+        batch = Batch(segs, None)
         b = batch.scatter_add(b, vecs)
 
     for term, data in boundary_terms:

@@ -106,7 +106,14 @@ class Level:
 
 @dataclasses.dataclass
 class VCycle:
-    """V-cycle preconditioner M^{-1} ~ A^{-1} over a grid hierarchy."""
+    """V-cycle preconditioner M^{-1} ~ A^{-1} over a grid hierarchy.
+
+    ``dtype``: optional compute dtype for the whole cycle (e.g. float32
+    inside a float64 outer Krylov solve — halves the bandwidth and puts the
+    fused Pallas stencil kernel on the TPU path; a preconditioner does not
+    need the solution dtype's accuracy).  Inputs are cast on entry and the
+    correction is cast back on exit.
+    """
 
     levels: List[Level]  # fine -> coarse
     vertex_fields: Tuple[str, ...]
@@ -114,6 +121,7 @@ class VCycle:
     post_smooth: int = 2
     coarse_sweeps: int = 12
     omega: float = 0.67
+    dtype: Optional[jnp.dtype] = None
 
     def _smooth(self, lvl: Level, x, b, sweeps: int):
         for _ in range(sweeps):
@@ -176,10 +184,19 @@ class VCycle:
         x = self._smooth(lvl, x, b, self.post_smooth)
         return x
 
-    # optional multiplicative interface (cut-block) correction
+    # optional multiplicative interface (cut-block) correction: either an
+    # exact dense inverse on the whole block (small interfaces) or batched
+    # overlapping block inverses (restricted additive Schwarz) beyond
     interface_ids: Optional[Array] = None  # global flat DoF ids
     interface_inv: Optional[Array] = None  # dense inverse on those DoFs
+    schwarz_ids: Optional[Array] = None  # (nb, K) global flat ids, pad -> n
+    schwarz_inv: Optional[Array] = None  # (nb, K, K) block inverses
+    schwarz_own: Optional[Array] = None  # (nb, K) RAS ownership mask
+    schwarz_sweeps: int = 2
     _flat_meta: Optional[Tuple] = None  # (names, shapes, sizes) system order
+    # mutation counter: compiled-solver caches key on (id(self), _version)
+    # so in-place equipping (attach_interface_solve) invalidates them
+    _version: int = 0
 
     def _flatten(self, x) -> Array:
         names, shapes, sizes = self._flat_meta
@@ -194,6 +211,15 @@ class VCycle:
         return out
 
     def __call__(self, b):
+        in_dtype = jax.tree.leaves(b)[0].dtype
+        if self.dtype is not None and in_dtype != self.dtype:
+            b = jax.tree.map(lambda v: v.astype(self.dtype), b)
+        x = self._apply(b)
+        if self.dtype is not None and in_dtype != self.dtype:
+            x = jax.tree.map(lambda v: v.astype(in_dtype), x)
+        return x
+
+    def _apply(self, b):
         x = self._cycle(0, b)
         if self.interface_inv is not None:
             # multiplicative correction: exact solve on the cut-cell /
@@ -202,10 +228,69 @@ class VCycle:
             lvl = self.levels[0]
             r = jax.tree.map(lambda bi, ai: bi - ai, b, lvl.matvec(x))
             rf = self._flatten(r)
-            corr = self.interface_inv @ rf[self.interface_ids]
+            corr = self.interface_inv.astype(rf.dtype) @ rf[self.interface_ids]
             xf = self._flatten(x).at[self.interface_ids].add(corr)
             x = self._unflatten(xf)
+        elif self.schwarz_inv is not None:
+            # scalable variant: overlapping cut-entity block solves
+            # (restricted additive Schwarz), batched on the MXU — O(nb*K^2)
+            # memory where the dense inverse is O(m^2)
+            lvl = self.levels[0]
+            for _ in range(self.schwarz_sweeps):
+                r = jax.tree.map(lambda bi, ai: bi - ai, b, lvl.matvec(x))
+                rf = self._flatten(r)
+                rpad = jnp.concatenate([rf, jnp.zeros(1, rf.dtype)])
+                rb = rpad[self.schwarz_ids]  # (nb, K)
+                cb = jnp.einsum("bkl,bl->bk", self.schwarz_inv.astype(rf.dtype), rb)
+                upd = jnp.where(self.schwarz_own, cb, 0.0)
+                xpad = jnp.concatenate([self._flatten(x), jnp.zeros(1, rf.dtype)])
+                xpad = xpad.at[self.schwarz_ids].add(upd)
+                x = self._unflatten(xpad[:-1])
         return x
+
+
+def _cast_batch(b, dtype):
+    """Copy of an entity batch with matrices (and masks) cast to ``dtype``."""
+    from .assembly import Batch
+    from .ops.stencil import StencilCellBatch
+
+    if isinstance(b, StencilCellBatch):
+        return dataclasses.replace(
+            b,
+            matrices=jnp.asarray(b.matrices, dtype),
+            masks=jnp.asarray(b.masks, dtype),
+        )
+    return Batch(b.segments, jnp.asarray(b.matrices, dtype), orient=b.orient)
+
+
+def _masked_matvec(op, bcs, dtype):
+    """(matvec, inv_diag, active) like solvers.masked_operator, optionally
+    computing in a reduced ``dtype`` (the preconditioner's compute dtype)."""
+    from .solvers import masked_operator
+
+    matvec, diag, active = masked_operator(op, bcs)
+    inv_diag = jax.tree.map(lambda d: 1.0 / d, diag)
+    if dtype is None:
+        return matvec, inv_diag, active
+    batches = [_cast_batch(b, dtype) for b in op.batches]
+
+    def raw(x):
+        y = {k: jnp.zeros_like(v) for k, v in x.items()}
+        for b in batches:
+            y = b.matvec_into(x, y)
+        return y
+
+    def mv(x):
+        xa = jax.tree.map(
+            lambda xi, m: jnp.where(m, xi, jnp.zeros_like(xi)), x, active
+        )
+        y = raw(xa)
+        return jax.tree.map(
+            lambda yi, xi, m: jnp.where(m, yi, xi), y, x, active
+        )
+
+    inv_diag = jax.tree.map(lambda d: d.astype(dtype), inv_diag)
+    return mv, inv_diag, active
 
 
 def _coarse_pinv(op, active) -> Array:
@@ -233,13 +318,27 @@ def _coarse_pinv(op, active) -> Array:
     return jnp.asarray(np.linalg.pinv(A, rcond=1e-12))
 
 
-def attach_interface_solve(vc: VCycle, op, active, max_dofs: int = 20000) -> VCycle:
-    """Equip a V-cycle with an exact solve on the data-dependent DoF block
-    (all DoFs touched by cut-cell penalty / ghost-facet / boundary batches).
+def attach_interface_solve(
+    vc: VCycle,
+    op,
+    active,
+    dense_max: int = 3000,
+    sweeps: int = 2,
+    kind: str = "auto",
+) -> VCycle:
+    """Equip a V-cycle with a solve on the data-dependent DoF block (all
+    DoFs touched by cut-cell penalty / ghost-facet / boundary batches).
 
     These carry the h^-3-scaled penalty couplings that pointwise smoothing
-    cannot contract (measured Richardson stall ~0.3); a dense pseudo-inverse
-    on this O(interface) block restores grid-independent convergence.
+    cannot contract (measured Richardson stall ~0.3).  Two variants:
+
+    * ``m <= dense_max`` (or ``kind="dense"``): exact dense pseudo-inverse
+      on the whole block — grid-independent convergence, O(m^2) memory;
+    * beyond: restricted additive Schwarz over the cut *entities* — one
+      overlapping dense block per data-dependent batch entity (cut cell,
+      ghost facet pair, boundary facet cell), inverted host-side from the
+      sparse interface submatrix and applied as one batched matmul.  O(m)
+      memory and setup; scales to arbitrarily fine grids.
     """
     sel = {n: np.zeros(s.dof_shape, bool) for n, s in op.system.fields.items()}
     found = False
@@ -259,22 +358,75 @@ def attach_interface_solve(vc: VCycle, op, active, max_dofs: int = 20000) -> VCy
             np.asarray(active[n]), op.system.fields[n].dof_shape
         )
     total = sum(int(m.sum()) for m in sel.values())
-    if total == 0 or total > max_dofs:
+    if total == 0:
         return vc
-    A_II, ids = op.restricted_dense(sel)
-    # identity on rows whose diagonal vanished entirely within the block,
-    # plus a tiny Tikhonov shift: LU inverse is O(n^3/3) where SVD-pinv is
-    # ~25x that — this is a preconditioner, exactness is not required
-    dz = np.abs(np.diag(A_II)) < 1e-300
-    A_II[dz, dz] = 1.0
-    shift = 1e-12 * np.abs(np.diag(A_II)).max()
-    A_II[np.diag_indices_from(A_II)] += shift
-    vc.interface_inv = jnp.asarray(np.linalg.inv(A_II))
-    vc.interface_ids = jnp.asarray(ids)
+
     names = list(op.system.fields)
     shapes = [tuple(op.system.fields[n].dof_shape) for n in names]
     sizes = [int(np.prod(sh)) for sh in shapes]
     vc._flat_meta = (names, shapes, sizes)
+
+    if kind == "dense" or (kind == "auto" and total <= dense_max):
+        A_II, ids = op.restricted_dense(sel)
+        # identity on rows whose diagonal vanished entirely within the
+        # block, plus a tiny Tikhonov shift: LU inverse is O(n^3/3) where
+        # SVD-pinv is ~25x that — this is a preconditioner, exactness is
+        # not required
+        dz = np.abs(np.diag(A_II)) < 1e-300
+        A_II[dz, dz] = 1.0
+        shift = 1e-12 * np.abs(np.diag(A_II)).max()
+        A_II[np.diag_indices_from(A_II)] += shift
+        vc.interface_inv = jnp.asarray(np.linalg.inv(A_II))
+        vc.interface_ids = jnp.asarray(ids)
+        vc._version += 1
+        return vc
+
+    # ---- Schwarz block path
+    import scipy.sparse  # noqa: F401  (restricted_csr needs it)
+
+    A_csr, ids = op.restricted_csr(sel)
+    off, _, idx_of = op._selection_ids(sel)
+    n_flat = op.system.num_dofs
+
+    # one overlapping block per data-dependent entity; block = the entity's
+    # selected DoFs (compact interface indices)
+    blocks: List[np.ndarray] = []
+    for b in op.batches:
+        if getattr(b, "rebuild", None) is None:
+            continue
+        l = idx_of[b.entity_global_dofs(off)]  # (ne, L)
+        for row in l:
+            bl = np.unique(row[row >= 0])
+            if bl.size:
+                blocks.append(bl)
+    K = max(bl.size for bl in blocks)
+    nb = len(blocks)
+    bids = np.full((nb, K), total, np.int64)  # pad -> compact slot `total`
+    for i, bl in enumerate(blocks):
+        bids[i, : bl.size] = bl
+    # RAS ownership: each interface DoF corrected from exactly one block
+    owner = -np.ones(total, np.int64)
+    own = np.zeros((nb, K), bool)
+    for i, bl in enumerate(blocks):
+        new = bl[owner[bl] < 0]
+        owner[new] = i
+        own[i, : bl.size] = owner[blocks[i]] == i
+    # batched dense block extraction + inverse (small K, host-side)
+    mats = np.zeros((nb, K, K))
+    mats[:, np.arange(K), np.arange(K)] = 1.0
+    for i, bl in enumerate(blocks):
+        Ab = np.asarray(A_csr[bl][:, bl].todense())
+        dz = np.abs(np.diag(Ab)) < 1e-300
+        Ab[dz, dz] = 1.0
+        mats[i, : bl.size, : bl.size] = Ab
+    inv = np.linalg.inv(mats)
+    # map compact block ids back to global flat DoF ids (pad -> n_flat)
+    ids_pad = np.concatenate([ids, [n_flat]])
+    vc.schwarz_ids = jnp.asarray(ids_pad[bids])
+    vc.schwarz_inv = jnp.asarray(inv)
+    vc.schwarz_own = jnp.asarray(own)
+    vc.schwarz_sweeps = sweeps
+    vc._version += 1
     return vc
 
 
@@ -284,6 +436,7 @@ def build_hierarchy(
     min_n: int = 8,
     dense_coarse: bool = True,
     max_coarse_dofs: int = 6000,
+    dtype=None,
     **vcycle_kw,
 ) -> VCycle:
     """Build a V-cycle from a level factory.
@@ -291,10 +444,9 @@ def build_hierarchy(
     ``make_level(grid) -> (op, bcs)`` re-discretizes the problem on each
     coarser grid (with its own tagging).  Coarsening stops when nx or ny
     would drop below ``min_n`` or become odd.  The coarsest level gets an
-    exact dense (pseudo-inverse) solve when small enough.
+    exact dense (pseudo-inverse) solve when small enough.  ``dtype`` sets
+    the cycle's compute dtype (see :class:`VCycle`).
     """
-    from .solvers import masked_operator
-
     grids = [fine_grid]
     g = fine_grid
     while (
@@ -310,8 +462,7 @@ def build_hierarchy(
     vertex_fields: Optional[Tuple[str, ...]] = None
     for i, g in enumerate(grids):
         op, bcs = make_level(g)
-        matvec, diag, active = masked_operator(op, bcs)
-        inv_diag = jax.tree.map(lambda d: 1.0 / d, diag)
+        matvec, inv_diag, active = _masked_matvec(op, bcs, dtype)
         if vertex_fields is None:
             vertex_fields = tuple(
                 n for n, v in active.items() if v.shape[0] == g.num_vertices
@@ -328,6 +479,7 @@ def build_hierarchy(
             and dense_coarse
             and op.system.num_dofs <= max_coarse_dofs
         ):
-            lvl.coarse_inv = _coarse_pinv(op, active)
+            ci = _coarse_pinv(op, active)
+            lvl.coarse_inv = ci if dtype is None else ci.astype(dtype)
         levels.append(lvl)
-    return VCycle(levels, vertex_fields, **vcycle_kw)
+    return VCycle(levels, vertex_fields, dtype=dtype, **vcycle_kw)

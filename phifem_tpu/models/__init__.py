@@ -16,6 +16,7 @@ from .strong_dirichlet import StrongDirichletPoisson
 from .neumann import NeumannPoisson
 from .robin import RobinPoisson
 from .interface_elasticity import InterfaceElasticity
+from .poisson import BoxPoisson
 
 __all__ = [
     "WeakDirichletPoisson",
@@ -23,4 +24,5 @@ __all__ = [
     "NeumannPoisson",
     "RobinPoisson",
     "InterfaceElasticity",
+    "BoxPoisson",
 ]

@@ -66,17 +66,34 @@ class SchemeBase:
         return self.submesh.exterior
 
     # ------------------------------------------------------ multigrid
-    def mg_preconditioner(self, min_n: int = 8, **vcycle_kw):
+    def mg_preconditioner(self, min_n: int = 8, refresh: bool = False, **vcycle_kw):
         """Geometric V-cycle preconditioner with re-discretized (re-tagged,
         re-assembled) coarse levels — the CutFEM multigrid design.  Requires
         ``setup``+``assemble`` to have run; each scheme's setup records its
-        arguments so coarse levels rebuild the same problem."""
+        arguments so coarse levels rebuild the same problem.
+
+        The built V-cycle is memoized per argument set (coarse-level
+        re-discretization + interface-block factorization are the expensive
+        parts); pass ``refresh=True`` after the problem data changed (e.g.
+        ``op.reassemble()`` with a new level set) to rebuild."""
         import dataclasses as _dc
 
         from ..mg import attach_interface_solve, build_hierarchy
         from ..solvers import masked_operator
 
+        key = (min_n, repr(sorted(vcycle_kw.items())))
+        cache = getattr(self, "_mg_cache", None)
+        if cache is None:
+            cache = self._mg_cache = {}
+        if not refresh and key in cache:
+            return cache[key]
+
         interface = vcycle_kw.pop("interface", True)
+        interface_kw = {
+            k[len("interface_"):]: vcycle_kw.pop(k)
+            for k in list(vcycle_kw)
+            if k.startswith("interface_")
+        }
 
         def make_level(grid: Grid):
             if grid is self.grid:
@@ -84,13 +101,14 @@ class SchemeBase:
             else:
                 s = _dc.replace(self, grid=grid)
                 s.setup(*self._setup_args)
-                s.assemble()
+                s.assemble(rhs=False)
             return s.op, getattr(s, "bcs", ())
 
         vc = build_hierarchy(self.grid, make_level, min_n=min_n, **vcycle_kw)
         if interface:
             _, _, active = masked_operator(self.op, getattr(self, "bcs", ()))
-            vc = attach_interface_solve(vc, self.op, active)
+            vc = attach_interface_solve(vc, self.op, active, **interface_kw)
+        cache[key] = vc
         return vc
 
     # ------------------------------------------------------------- errors

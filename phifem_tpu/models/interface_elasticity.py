@@ -109,7 +109,7 @@ class InterfaceElasticity(SchemeBase):
         self._setup_args = (levelset, f, u_dbc)
         return self
 
-    def assemble(self):
+    def assemble(self, rhs: bool = True):
         g = self.grid
         pen, stab = self.pen_coef, self.stab_coef
         li, mi = self.lmbda_in, self.mu_in
@@ -210,6 +210,10 @@ class InterfaceElasticity(SchemeBase):
             )
 
         fdata = {"f": self.f}
+        if not rhs:
+            # operator-only path (multigrid coarse levels skip the RHS)
+            return self
+
         self.b = assemble_vector(
             self.system,
             g,

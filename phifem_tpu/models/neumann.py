@@ -74,7 +74,7 @@ class NeumannPoisson(SchemeBase):
         phi = d["phi"]
         return jnp.dot(w["y"].val, phi.grad) + w["p"].val * phi.val / ctx.h
 
-    def assemble(self):
+    def assemble(self, rhs: bool = True):
         g = self.grid
         pen, stab = self.pen_coef, self.stab_coef
         qdeg = 2 * (self.vector_degree + self.levelset_degree) + 2
@@ -121,6 +121,10 @@ class NeumannPoisson(SchemeBase):
             t1 = -d["uN"].val * ngphi * self._flux_factor(v, d, ctx) / h**2
             t2 = d["f"].val * (_div(v["y"]) + v["u"].val)
             return pen * (t1 + t2)
+
+        if not rhs:
+            # operator-only path (multigrid coarse levels skip the RHS)
+            return self
 
         self.b = assemble_vector(
             self.system,

@@ -72,7 +72,7 @@ class StrongDirichletPoisson(SchemeBase):
         self._setup_args = (levelset, f, detection_levelset)
         return self
 
-    def assemble(self):
+    def assemble(self, rhs: bool = True):
         g = self.grid
         stab = self.stab_coef
         qdeg = 2 * (self.primal_degree + self.levelset_degree) + 2
@@ -125,6 +125,10 @@ class StrongDirichletPoisson(SchemeBase):
             return -stab * ctx.h**2 * d["f"].val * lv
 
         rdata = {"phi": self.phi_h, "f": self.f_h}
+        if not rhs:
+            # operator-only path (multigrid coarse levels skip the RHS)
+            return self
+
         self.b = assemble_vector(
             self.system,
             g,

@@ -68,7 +68,7 @@ class WeakDirichletPoisson(SchemeBase):
         self._setup_args = (levelset, f, u_D, detection_levelset)
         return self
 
-    def assemble(self):
+    def assemble(self, rhs: bool = True):
         g = self.grid
         pen, stab = self.pen_coef, self.stab_coef
         qdeg = 2 * (self.primal_degree + self.levelset_degree)
@@ -127,6 +127,10 @@ class WeakDirichletPoisson(SchemeBase):
 
         def rhs_stab(v, d, x, ctx):
             return -stab * ctx.h**2 * d["f"].val * v["u"].lap
+
+        if not rhs:
+            # operator-only path (multigrid coarse levels skip the RHS)
+            return self
 
         self.b = assemble_vector(
             self.system,

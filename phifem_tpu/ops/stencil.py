@@ -136,6 +136,31 @@ class StencilCellBatch:
         l = np.where(l >= 0, l, m)[keep]
         np.add.at(A, (l[:, :, None], l[:, None, :]), mats[orient[keep]])
 
+    def add_coo_restricted(
+        self, triplets, offsets: Dict[str, int], idx_of: np.ndarray
+    ) -> None:
+        """Append restricted (row, col, val) triplets (see Batch)."""
+        g = self.grid
+        off = offsets[self.field]
+        cv = np.asarray(g.cell_vertices_np)
+        orient = np.asarray(g.cell_orientations_np)
+        masks = np.asarray(self.masks).reshape(self.masks.shape[0], -1)
+        mats = np.asarray(self.matrices)
+        block = np.arange(g.num_cells) // (2 if g.is_simplex else 1)
+        active = masks[orient, block] > 0.0
+        l = idx_of[off + cv]
+        keep = active & (l >= 0).any(axis=1)
+        if not keep.any():
+            return
+        l = l[keep]
+        m = mats[orient[keep]]
+        rows = np.broadcast_to(l[:, :, None], m.shape)
+        cols = np.broadcast_to(l[:, None, :], m.shape)
+        valid = (rows >= 0) & (cols >= 0)
+        triplets[0].append(rows[valid])
+        triplets[1].append(cols[valid])
+        triplets[2].append(m[valid])
+
     def add_dense(self, A: np.ndarray, offsets: Dict[str, int]) -> None:
         g = self.grid
         off = offsets[self.field]

@@ -9,6 +9,7 @@ XLA inserts the collectives (psum for CG dot products, halo exchanges for
 the gathers) over ICI/DCN.
 """
 
+from .halo import HaloOperator, UnsupportedFieldError, halo_solve
 from .sharding import (
     make_mesh,
     shard_vector,
@@ -16,4 +17,12 @@ from .sharding import (
     sharded_solve,
 )
 
-__all__ = ["make_mesh", "shard_vector", "sharded_matvec_fn", "sharded_solve"]
+__all__ = [
+    "HaloOperator",
+    "UnsupportedFieldError",
+    "halo_solve",
+    "make_mesh",
+    "shard_vector",
+    "sharded_matvec_fn",
+    "sharded_solve",
+]

@@ -39,9 +39,19 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
+def _pad_to(v: Array, n: int) -> Array:
+    """Zero-pad the leading axis to a multiple of n (so the DoF axis always
+    genuinely shards — no silent replication on awkward sizes)."""
+    r = (-v.shape[0]) % n
+    if r == 0:
+        return v
+    return jnp.concatenate(
+        [v, jnp.zeros((r,) + v.shape[1:], v.dtype)], axis=0
+    )
+
+
 def _spec_for(v: Array, mesh: Mesh) -> NamedSharding:
-    """Shard the leading (scalar-DoF) axis when divisible by the mesh,
-    replicate otherwise (XLA requires divisible global dims)."""
+    """Shard the leading (scalar-DoF) axis (callers pad to divisibility)."""
     n = mesh.shape[AXIS]
     lead = AXIS if v.shape[0] % n == 0 else None
     return NamedSharding(mesh, P(lead, *([None] * (v.ndim - 1))))
@@ -80,17 +90,46 @@ def sharded_solve(
     method: str = "bicgstab",
     tol: float = 1e-10,
     maxiter: int = 1000,
+    grid=None,
 ):
     """jit-compiled sharded Krylov solve over the mesh; returns (x, relres).
 
-    The whole solve is one XLA program: dot products lower to psum over the
-    mesh axis, matvec gathers to collective permutes — the SPMD replacement
-    for PETSc's MPI-collective KSP (reference N9/N13).
+    Prefers the explicit row-slab halo-exchange decomposition
+    (:mod:`.halo`): shard_map matvec with collective-permute halo traffic
+    and psum'd Krylov dot products — the SPMD replacement for PETSc's
+    MPI-collective KSP (reference N9/N13).  Falls back to GSPMD sharding
+    constraints (XLA-chosen partitioning of the gathers) for systems the
+    slab decomposition does not cover (degree > 1 fields).
     """
+    if grid is None:
+        grid = next(iter(op.system.fields.values())).grid
+    try:
+        from .halo import UnsupportedFieldError, halo_solve
+
+        return halo_solve(
+            op, grid, b, mesh, bcs=bcs, method=method, tol=tol, maxiter=maxiter
+        )
+    except UnsupportedFieldError:
+        pass
+
     mv, diag, active = sharded_matvec_fn(op, mesh, bcs)
     b = lift_rhs(op, b, bcs, active)
     inv_diag = jax.tree.map(lambda d: 1.0 / d, diag)
-    M = lambda x: jax.tree.map(lambda xi, di: xi * di, x, inv_diag)
+    n = mesh.shape[AXIS]
+    shapes = {k: v.shape for k, v in b.items()}
+
+    def unpad(x):
+        return {k: x[k][: shapes[k][0]] for k in x}
+
+    def mv_pad(x):
+        y = mv(unpad(x))
+        return _constrain(
+            {k: _pad_to(y[k], n) for k in y}, mesh
+        )
+
+    def M(x):
+        z = jax.tree.map(lambda xi, di: xi * di, unpad(x), inv_diag)
+        return _constrain({k: _pad_to(z[k], n) for k in z}, mesh)
 
     solver = {
         "cg": jax.scipy.sparse.linalg.cg,
@@ -99,9 +138,9 @@ def sharded_solve(
 
     @jax.jit
     def run(b):
-        b = _constrain(b, mesh)
-        x, _ = solver(mv, b, tol=tol, atol=0.0, maxiter=maxiter, M=M)
-        r = jax.tree.map(lambda bi, ai: bi - ai, b, mv(x))
+        b = _constrain({k: _pad_to(v, n) for k, v in b.items()}, mesh)
+        x, _ = solver(mv_pad, b, tol=tol, atol=0.0, maxiter=maxiter, M=M)
+        r = jax.tree.map(lambda bi, ai: bi - ai, b, mv_pad(x))
         rn = jnp.sqrt(
             jax.tree.reduce(
                 jnp.add, jax.tree.map(lambda v: jnp.vdot(v, v), r)
@@ -112,7 +151,7 @@ def sharded_solve(
                 jnp.add, jax.tree.map(lambda v: jnp.vdot(v, v), b)
             )
         )
-        return x, rn / jnp.maximum(bn, 1e-300)
+        return unpad(x), rn / jnp.maximum(bn, 1e-300)
 
     with mesh:
         x, rel = run(shard_vector(b, mesh))

@@ -198,7 +198,19 @@ def solve(
     # latency would otherwise dominate every V-cycle application.  The
     # compiled runner is memoized on the operator so repeated solves
     # (convergence loops, benchmarks) skip retracing entirely.
-    cache_key = (method, float(tol), float(atol), int(maxiter), id(precond), len(bcs))
+    # key on BC identities (the jitted closure bakes in their masks/values;
+    # closures keep the bc objects alive so ids are stable) and on the
+    # preconditioner's identity + mutation version (attach_interface_solve
+    # bumps _version when it equips an already-built V-cycle)
+    cache_key = (
+        method,
+        float(tol),
+        float(atol),
+        int(maxiter),
+        id(precond),
+        getattr(precond, "_version", 0),
+        tuple(id(bc) for bc in bcs),
+    )
     cache = getattr(op, "_solve_cache", None)
     if cache is None:
         cache = op._solve_cache = {}

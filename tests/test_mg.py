@@ -63,3 +63,41 @@ def test_mg_preconditioned_s1():
     du = float(jnp.max(jnp.abs(res_mg.x["u"] - res_dense.x["u"])))
     scale = float(jnp.max(jnp.abs(res_dense.x["u"])))
     assert du < 1e-6 * max(scale, 1.0), (du, scale)
+
+
+def test_mg_schwarz_interface_s1():
+    """The scalable Schwarz interface correction (dense_max=0 forces it)
+    must converge where plain Jacobi stalls, and match the dense solve."""
+    phi = lambda x: x[..., 0] ** 2 + x[..., 1] ** 2 - 0.49
+    uex = lambda x: jnp.cos(x[..., 0]) * jnp.sin(x[..., 1])
+    f = lambda x: 2.0 * uex(x)
+
+    g = pf.Grid(32, 32, ((-1.0, -1.0), (1.0, 1.0)), "triangle")
+    s = WeakDirichletPoisson(g, mode="bg")
+    s.setup(phi, f, u_D=uex)
+    s.assemble()
+
+    vc = s.mg_preconditioner(min_n=8, interface_dense_max=0)
+    assert vc.schwarz_inv is not None and vc.interface_inv is None
+
+    res = solve(s.op, s.b, method="bicgstab", tol=1e-10, maxiter=120, precond=vc)
+    assert res.converged, res.residual
+
+    res_dense = solve(s.op, s.b, method="dense")
+    du = float(jnp.max(jnp.abs(res.x["u"] - res_dense.x["u"])))
+    scale = float(jnp.max(jnp.abs(res_dense.x["u"])))
+    assert du < 1e-6 * max(scale, 1.0), (du, scale)
+
+
+def test_mg_preconditioner_memoized():
+    phi = lambda x: x[..., 0] ** 2 + x[..., 1] ** 2 - 0.49
+    f = lambda x: jnp.ones(x.shape[:-1])
+    g = pf.Grid(16, 16, ((-1.0, -1.0), (1.0, 1.0)), "triangle")
+    s = WeakDirichletPoisson(g, mode="bg")
+    s.setup(phi, f)
+    s.assemble()
+    vc1 = s.mg_preconditioner(min_n=8)
+    vc2 = s.mg_preconditioner(min_n=8)
+    assert vc1 is vc2
+    vc3 = s.mg_preconditioner(min_n=8, refresh=True)
+    assert vc3 is not vc1

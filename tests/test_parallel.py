@@ -1,5 +1,6 @@
-"""SPMD sharding: the sharded solve must run on a multi-device mesh and
-match the single-device solution (conftest forces an 8-device CPU mesh)."""
+"""SPMD parallelism: the halo-exchange matvec must equal the single-device
+operator exactly, and the sharded solve must match the dense solution — on
+awkward (non-divisible) grid sizes (conftest forces an 8-device CPU mesh)."""
 
 import jax
 import jax.numpy as jnp
@@ -7,9 +8,19 @@ import numpy as np
 import pytest
 
 import phifem_tpu as pf
-from phifem_tpu.models import WeakDirichletPoisson
-from phifem_tpu.parallel import make_mesh, shard_vector, sharded_solve
-from phifem_tpu.solvers import solve
+from phifem_tpu.models import NeumannPoisson, WeakDirichletPoisson
+from phifem_tpu.parallel import (
+    HaloOperator,
+    halo_solve,
+    make_mesh,
+    shard_vector,
+    sharded_solve,
+)
+from phifem_tpu.solvers import masked_operator, solve
+
+multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs a multi-device mesh"
+)
 
 
 def _problem(n):
@@ -23,21 +34,70 @@ def _problem(n):
     return s
 
 
-@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
-def test_sharded_solve_matches_single_device():
-    s = _problem(15)  # 16x16 = 256 vertex DoFs, divisible by 8
+@multidevice
+@pytest.mark.parametrize("n", [15, 33])  # 33 -> 34 rows: NOT divisible by 8
+def test_halo_matvec_matches_masked_operator(n):
+    s = _problem(n)
     mesh = make_mesh(8)
-    x_sh, rel = sharded_solve(s.op, s.b, mesh, method="bicgstab", tol=1e-10, maxiter=3000)
+    H = HaloOperator(s.op, s.grid, mesh)
+    mv_ref, diag, active = masked_operator(s.op)
+    rng = np.random.default_rng(0)
+    x = {k: jnp.asarray(rng.normal(size=v.shape)) for k, v in s.b.items()}
+    y_ref = mv_ref(x)
+    y_halo = H.unpad(H.matvec(H.pad(x)))
+    for k in y_ref:
+        err = float(jnp.max(jnp.abs(y_ref[k] - y_halo[k])))
+        sc = float(jnp.max(jnp.abs(y_ref[k])))
+        assert err < 1e-10 * max(sc, 1.0), (k, err, sc)
+    # the padded vectors really are distributed across the mesh
+    xp = H.pad(x)
+    assert len(xp["u"].sharding.device_set) == 8
+
+
+@multidevice
+def test_sharded_solve_matches_dense_nondivisible():
+    s = _problem(33)
+    mesh = make_mesh(8)
+    x_sh, rel = sharded_solve(
+        s.op, s.b, mesh, method="bicgstab", tol=1e-10, maxiter=4000
+    )
     assert rel < 1e-8, rel
     ref = solve(s.op, s.b, method="dense")
     du = float(jnp.max(jnp.abs(x_sh["u"] - ref.x["u"])))
-    assert du < 1e-6, du
-    # DoF arrays really are distributed across the mesh
-    xs = shard_vector(s.b, mesh)
-    assert len(xs["u"].sharding.device_set) == 8
+    scale = float(jnp.max(jnp.abs(ref.x["u"])))
+    assert du < 1e-6 * max(scale, 1.0), du
 
 
-@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
+@multidevice
+def test_halo_solve_mixed_dg0_system():
+    """S3 Neumann: P1 x vector-P1 x DG0 mixed system through the slab
+    decomposition (DG0 cell-row layout + vector fields)."""
+    import sys, os
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(__file__), "..", "demo", "neumann", "square"),
+    )
+    from data import levelset, neumann_data, source_term  # noqa: E402
+
+    g = pf.Grid(24, 24, ((-1.0, -1.0), (1.0, 1.0)), "quadrilateral")
+    s = NeumannPoisson(g, mode="bg")
+    s.setup(levelset, source_term, neumann_data)
+    s.assemble()
+    mesh = make_mesh(8)
+    x_sh, rel = halo_solve(
+        s.op, g, s.b, mesh, bcs=getattr(s, "bcs", ()),
+        method="bicgstab", tol=1e-10, maxiter=4000,
+    )
+    assert rel < 1e-7, rel
+    ref = solve(s.op, s.b, method="dense")
+    for k in x_sh:
+        du = float(jnp.max(jnp.abs(x_sh[k] - ref.x[k])))
+        scale = float(jnp.max(jnp.abs(ref.x[k])))
+        assert du < 1e-5 * max(scale, 1.0), (k, du, scale)
+
+
+@multidevice
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
