@@ -258,7 +258,7 @@ def _cast_batch(b, dtype):
         return dataclasses.replace(
             b,
             matrices=jnp.asarray(b.matrices, dtype),
-            masks=jnp.asarray(b.masks, dtype),
+            masks=None if b.masks is None else jnp.asarray(b.masks, dtype),
         )
     return Batch(b.segments, jnp.asarray(b.matrices, dtype), orient=b.orient)
 

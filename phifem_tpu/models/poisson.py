@@ -70,14 +70,22 @@ class BoxPoisson:
 
         f_h = self.f if isinstance(self.f, Function) else interpolate(self.f, self.V)
 
-        def rhs_bulk(v, d, x, ctx):
-            return d["f"].val * v["u"].val
+        # load vector as a mass-stencil matvec, b = M f_h (f interpolated
+        # into V): on the uniform lattice the mass matrix is one more
+        # orientation-stencil, so this reuses the exact kernel shapes the
+        # V-cycle compiles anyway — instead of a dedicated 2*nc-cell
+        # quadrature kernel whose cold compile dominates setup at 10M DoF
+        def mass(u, v, d, x, ctx):
+            return u["u"].val * v["u"].val
 
-        self.b = assemble_vector(
+        M = assemble_operator(
             self.system,
             g,
-            cell_terms=[(CellTerm(rhs_bulk, None, degree=2 * self.primal_degree), {"f": f_h})],
+            cell_terms=[
+                (CellTerm(mass, None, degree=2 * self.primal_degree, uniform=True), {})
+            ],
         )
+        self.b = M.matvec({"u": f_h.data})
         return self
 
     def mg_preconditioner(self, min_n: int = 8, dtype=None, **vcycle_kw):
@@ -99,6 +107,20 @@ class BoxPoisson:
 
     def solve(self, method: str = "cg", tol: float = 1e-10, **kw) -> SolveResult:
         res = solve(self.op, self.b, bcs=self.bcs, method=method, tol=tol, **kw)
+        self.result = res
+        self.u_h = Function(self.V, res.x["u"])
+        return res
+
+    def solve_ir(self, tol: float = 1e-10, **kw) -> SolveResult:
+        """Mixed-precision solve: f32 MG-preconditioned CG corrections in a
+        full-precision iterative-refinement loop (solvers.solve_ir) — the
+        north-star bench path (sub-second 10M-DoF Poisson to 1e-10)."""
+        from ..solvers import solve_ir as _solve_ir
+
+        precond = kw.pop("precond", None)
+        if precond is None:
+            precond = self.mg_preconditioner(dtype=jnp.float32)
+        res = _solve_ir(self.op, self.b, bcs=self.bcs, precond=precond, tol=tol, **kw)
         self.result = res
         self.u_h = Function(self.V, res.x["u"])
         return res

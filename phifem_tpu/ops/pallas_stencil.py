@@ -35,6 +35,12 @@ Array = jnp.ndarray
 __all__ = ["stencil_matvec_pallas"]
 
 
+def _i32(v):
+    """Index-map literals must be i32: under jax_enable_x64 a bare Python
+    int lowers to i64, which Mosaic's scalar core cannot legalize."""
+    return jnp.int32(v)
+
+
 def _offsets(grid: Grid):
     return _TRI_OFFS if grid.is_simplex else (_QUAD_OFFS,)
 
@@ -45,9 +51,55 @@ def _col_shift(a: Array, s: int) -> Array:
     sides (Mosaic has no unaligned concatenate; rolls lower natively)."""
     if s == 0:
         return a
-    # pltpu.roll requires a non-negative shift; roll(-s) == roll(C - s)
+    # pltpu.roll requires a non-negative shift; roll(-s) == roll(C - s).
+    # Force an i32 shift: under jax_enable_x64 a Python int lowers to i64,
+    # which tpu.dynamic_rotate rejects.
     shift = (-s) % a.shape[1]
-    return pltpu.roll(a, shift, axis=1)
+    return pltpu.roll(a, jnp.int32(shift), axis=1)
+
+
+def _make_kernel_full(offs, TY: int, ny: int, nx: int):
+    """Maskless variant for terms covering EVERY cell (masks == all-ones):
+    instead of streaming (norient, R, C) mask slabs from HBM, cell validity
+    (is this lattice position a real cell, not padding?) is rebuilt on the
+    VPU from broadcasted iotas — zero extra HBM traffic, which halves the
+    kernel's bandwidth on the pure-Poisson path."""
+    from jax import lax
+
+    def kernel(xs_ref, mats_ref, ys_ref):
+        # xs_ref: (1, TY+2, C); mats_ref: (no, nloc, nloc); ys_ref: (1, TY, C)
+        C = xs_ref.shape[-1]
+        acc = jnp.zeros((TY, C), xs_ref.dtype)
+        rbase = pl.program_id(0) * TY
+        valid_cache = {}
+
+        def valid(dxi, dyi):
+            key = (dxi, dyi)
+            if key not in valid_cache:
+                # padded cell coords of the (o, i) contribution at output
+                # (r, c): row = rbase + 1 - dyi + r, col = c - dxi; real
+                # cells occupy padded rows/cols 1..ny / 1..nx
+                rows = (
+                    lax.broadcasted_iota(jnp.int32, (TY, C), 0)
+                    + rbase
+                    + (1 - dyi)
+                )
+                cols = lax.broadcasted_iota(jnp.int32, (TY, C), 1) - dxi
+                valid_cache[key] = (
+                    (rows >= 1) & (rows <= ny) & (cols >= 1) & (cols <= nx)
+                )
+            return valid_cache[key]
+
+        for o, offs_o in enumerate(offs):
+            for i, (dxi, dyi) in enumerate(offs_o):
+                s = jnp.zeros((TY, C), xs_ref.dtype)
+                for j, (dxj, dyj) in enumerate(offs_o):
+                    xrow = xs_ref[0, 1 - dyi + dyj : 1 - dyi + dyj + TY, :]
+                    s = s + mats_ref[o, i, j] * _col_shift(xrow, dxj - dxi)
+                acc = acc + jnp.where(valid(dxi, dyi), s, 0.0)
+        ys_ref[0, :, :] = acc
+
+    return kernel
 
 
 def _make_kernel(offs, TY: int):
@@ -79,9 +131,11 @@ def stencil_matvec_pallas(
 ) -> Array:
     """y = A_stencil @ x for a uniform single-scalar-P1 term.
 
-    x: (num_vertices,); masks: (norient, ny, nx); mats: (norient, nloc,
-    nloc).  Overlapping row slabs (halo 1) are materialized by a strided
-    gather (2 extra rows per TY, <2% overhead); each slab is one program.
+    x: (num_vertices,); masks: (norient, ny, nx) or ``None`` for a term
+    covering every cell (validity is then rebuilt in-kernel from iotas and
+    no mask data is streamed at all); mats: (norient, nloc, nloc).
+    Overlapping row slabs (halo 1) are materialized by a strided gather
+    (2 extra rows per TY, <2% overhead); each slab is one program.
     """
     ny, nx = grid.ny, grid.nx
     R, C0 = ny + 1, nx + 1
@@ -94,40 +148,69 @@ def stencil_matvec_pallas(
     CPq = -(-(C0 + 2) // 128) * 128
     row_bytes = CPq * jnp.dtype(dt).itemsize
     budget = 10 * 2**20
-    ty_cap = max(8, int(budget / (row_bytes * (4 + 4 * no))))
+    mask_rows = 0 if masks is None else 4 * no
+    ty_cap = max(8, int(budget / (row_bytes * (4 + mask_rows))))
     TY = min(TY, ty_cap, R)
     nt = -(-R // TY)
     RP = 1 + nt * TY + 1
     CP = -(-(C0 + 2) // 128) * 128  # pad to the 128-lane boundary
     xp = jnp.zeros((RP, CP), dt).at[1 : 1 + R, 1 : 1 + C0].set(x.reshape(R, C0))
-    mp = jnp.zeros((no, RP, CP), dt).at[:, 1 : 1 + ny, 1 : 1 + nx].set(
-        masks.astype(dt)
-    )
 
     starts = jnp.arange(nt) * TY
     xslabs = jax.vmap(
         lambda s: jax.lax.dynamic_slice(xp, (s, 0), (TY + 2, CP))
     )(starts)
-    mslabs = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(mp, (0, s, 0), (no, TY + 1, CP))
-    )(starts)
 
-    yslabs = pl.pallas_call(
-        _make_kernel(offs, TY),
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((1, TY + 2, CP), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, no, TY + 1, CP), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, TY, CP), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((nt, TY, CP), dt),
-        interpret=interpret,
-    )(xslabs, mslabs, jnp.asarray(mats, dt))
+    x_spec = pl.BlockSpec(
+        (1, TY + 2, CP), lambda t: (t, _i32(0), _i32(0)), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, TY, CP), lambda t: (t, _i32(0), _i32(0)), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((nt, TY, CP), dt)
+
+    mats = jnp.asarray(mats, dt)
+    # explicit full-shape spec with i32 index map: the default (shapeless)
+    # BlockSpec generates i64 index-map literals under jax_enable_x64,
+    # which Mosaic's scalar core fails to legalize (func.return i64)
+    mats_spec = pl.BlockSpec(
+        mats.shape,
+        lambda t: (_i32(0), _i32(0), _i32(0)),
+        memory_space=pltpu.VMEM,
+    )
+
+    if masks is None:
+        yslabs = pl.pallas_call(
+            _make_kernel_full(offs, TY, ny, nx),
+            grid=(nt,),
+            in_specs=[x_spec, mats_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(xslabs, mats)
+    else:
+        mp = jnp.zeros((no, RP, CP), dt).at[:, 1 : 1 + ny, 1 : 1 + nx].set(
+            masks.astype(dt)
+        )
+        mslabs = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(mp, (0, s, 0), (no, TY + 1, CP))
+        )(starts)
+        yslabs = pl.pallas_call(
+            _make_kernel(offs, TY),
+            grid=(nt,),
+            in_specs=[
+                x_spec,
+                pl.BlockSpec(
+                    (1, no, TY + 1, CP),
+                    lambda t: (t, _i32(0), _i32(0), _i32(0)),
+                    memory_space=pltpu.VMEM,
+                ),
+                mats_spec,
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(xslabs, mslabs, mats)
 
     yp = yslabs.reshape(nt * TY, CP)[:R, 1 : 1 + C0]
     return yp.reshape(-1)

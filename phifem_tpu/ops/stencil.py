@@ -34,12 +34,18 @@ _TRI_OFFS = (
 
 @dataclasses.dataclass
 class StencilCellBatch:
-    """Drop-in Batch for a single-scalar-P1-field uniform cell term."""
+    """Drop-in Batch for a single-scalar-P1-field uniform cell term.
+
+    ``masks is None`` means the term covers EVERY cell (the pure-Poisson /
+    full-box case): the matvec then skips all mask reads — on a 10M-DoF
+    lattice that halves HBM traffic — and lattice-boundary validity is
+    reconstructed from index arithmetic instead.
+    """
 
     grid: Grid
     field: str
     matrices: Array  # (norient, nloc, nloc)
-    masks: Array  # (norient, ny, nx) float region masks per orientation
+    masks: Array | None  # (norient, ny, nx) region masks, or None == all-ones
 
     @staticmethod
     def build(grid: Grid, field: str, mats: Array, cell_tags, region) -> "StencilCellBatch":
@@ -48,6 +54,8 @@ class StencilCellBatch:
             sel = np.ones(grid.num_cells, bool)
         else:
             sel = np.isin(np.asarray(cell_tags), np.asarray(region))
+        if sel.all():
+            return StencilCellBatch(grid, field, mats, None)
         if grid.is_simplex:
             masks = np.stack(
                 [
@@ -58,6 +66,14 @@ class StencilCellBatch:
         else:
             masks = sel.reshape(1, ny, nx).astype(np.float64)
         return StencilCellBatch(grid, field, mats, jnp.asarray(masks))
+
+    def masks_or_ones(self) -> np.ndarray:
+        """Materialized region masks (for consumers that need them, e.g.
+        the halo decomposition's sharded mask tables)."""
+        if self.masks is not None:
+            return np.asarray(self.masks)
+        no = 2 if self.grid.is_simplex else 1
+        return np.ones((no, self.grid.ny, self.grid.nx))
 
     def _offs(self, o: int):
         return _TRI_OFFS[o] if self.grid.is_simplex else _QUAD_OFFS
@@ -84,7 +100,9 @@ class StencilCellBatch:
             yk = stencil_matvec_pallas(
                 g,
                 x[self.field],
-                self.masks.astype(x[self.field].dtype),
+                None
+                if self.masks is None
+                else self.masks.astype(x[self.field].dtype),
                 self.matrices.astype(x[self.field].dtype),
             )
             y[self.field] = y[self.field] + yk
@@ -94,10 +112,11 @@ class StencilCellBatch:
         for o in range(self.matrices.shape[0]):
             offs = self._offs(o)
             A = self.matrices[o]
-            M = self.masks[o]
             xl = [X[dy : dy + ny, dx : dx + nx] for (dx, dy) in offs]
             for i, (dxi, dyi) in enumerate(offs):
-                zi = M * sum(A[i, j] * xl[j] for j in range(len(offs)))
+                zi = sum(A[i, j] * xl[j] for j in range(len(offs)))
+                if self.masks is not None:
+                    zi = self.masks[o] * zi
                 Y = Y.at[dyi : dyi + ny, dxi : dxi + nx].add(zi)
         y[self.field] = Y.reshape(-1)
         return y
@@ -109,7 +128,7 @@ class StencilCellBatch:
         for o in range(self.matrices.shape[0]):
             offs = self._offs(o)
             A = self.matrices[o]
-            M = self.masks[o]
+            M = 1.0 if self.masks is None else self.masks[o]
             for i, (dxi, dyi) in enumerate(offs):
                 D = D.at[dyi : dyi + ny, dxi : dxi + nx].add(M * A[i, i])
         d[self.field] = D.reshape(-1)
@@ -124,10 +143,13 @@ class StencilCellBatch:
         off = offsets[self.field]
         cv = np.asarray(g.cell_vertices_np)
         orient = np.asarray(g.cell_orientations_np)
-        masks = np.asarray(self.masks).reshape(self.masks.shape[0], -1)
         mats = np.asarray(self.matrices)
-        block = np.arange(g.num_cells) // (2 if g.is_simplex else 1)
-        active = masks[orient, block] > 0.0
+        if self.masks is None:
+            active = np.ones(g.num_cells, bool)
+        else:
+            masks = np.asarray(self.masks).reshape(self.masks.shape[0], -1)
+            block = np.arange(g.num_cells) // (2 if g.is_simplex else 1)
+            active = masks[orient, block] > 0.0
         gidx = off + cv  # (nc, nloc) — scalar field
         l = idx_of[gidx]
         keep = active & (l >= 0).any(axis=1)
@@ -144,10 +166,13 @@ class StencilCellBatch:
         off = offsets[self.field]
         cv = np.asarray(g.cell_vertices_np)
         orient = np.asarray(g.cell_orientations_np)
-        masks = np.asarray(self.masks).reshape(self.masks.shape[0], -1)
         mats = np.asarray(self.matrices)
-        block = np.arange(g.num_cells) // (2 if g.is_simplex else 1)
-        active = masks[orient, block] > 0.0
+        if self.masks is None:
+            active = np.ones(g.num_cells, bool)
+        else:
+            masks = np.asarray(self.masks).reshape(self.masks.shape[0], -1)
+            block = np.arange(g.num_cells) // (2 if g.is_simplex else 1)
+            active = masks[orient, block] > 0.0
         l = idx_of[off + cv]
         keep = active & (l >= 0).any(axis=1)
         if not keep.any():
@@ -166,7 +191,7 @@ class StencilCellBatch:
         off = offsets[self.field]
         cv = np.asarray(g.cell_vertices)
         orient = np.asarray(g.cell_orientations)
-        masks = np.asarray(self.masks)
+        masks = self.masks_or_ones()
         mats = np.asarray(self.matrices)
         ny, nx = g.ny, g.nx
         for c in range(g.num_cells):

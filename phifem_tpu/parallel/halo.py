@@ -127,9 +127,10 @@ class HaloOperator:
         self._stencil_offs: List[Tuple] = []
         self._stencil_fields: List[str] = []
         for b in stencil_raw:
-            no, ny, nx = b.masks.shape
-            mpad = np.zeros((nP * m, no, nx), np.asarray(b.masks).dtype)
-            mpad[:ny] = np.moveaxis(np.asarray(b.masks), 0, 1)
+            bmasks = b.masks_or_ones()
+            no, ny, nx = bmasks.shape
+            mpad = np.zeros((nP * m, no, nx), bmasks.dtype)
+            mpad[:ny] = np.moveaxis(bmasks, 0, 1)
             self._stencil_fields.append(b.field)
             self._stencil_mats.append(jnp.asarray(b.matrices))
             self._stencil_masks.append(shard(mpad))

@@ -45,6 +45,37 @@ def test_box_poisson_f32_vcycle_preconditioner():
     assert du < 1e-8 * max(scale, 1.0), (du, scale)
 
 
+def test_box_poisson_mixed_precision_ir():
+    """solve_ir: f32 MG-CG corrections + f64 residual loop must reach
+    1e-12 — beyond single-precision — in a couple of outer rounds."""
+    from phifem_tpu.solvers import solve_ir
+
+    s, uex = _box_problem(32)
+    vc = s.mg_preconditioner(min_n=8, dtype=jnp.float32)
+    res = solve_ir(
+        s.op, s.b, bcs=s.bcs, precond=vc, tol=1e-12, inner_tol=1e-5,
+        inner_maxiter=40,
+    )
+    assert res.converged, res.residual
+    assert res.residual <= 1e-12
+    assert res.iterations <= 4, res.iterations
+    ref = solve(s.op, s.b, bcs=s.bcs, method="dense")
+    du = float(jnp.max(jnp.abs(res.x["u"] - ref.x["u"])))
+    scale = float(jnp.max(jnp.abs(ref.x["u"])))
+    assert du < 1e-9 * max(scale, 1.0), (du, scale)
+
+
+def test_box_poisson_full_term_is_maskless():
+    """BoxPoisson's single bulk term covers every cell -> the stencil batch
+    drops its masks entirely (the bandwidth-halving pure-Poisson path)."""
+    from phifem_tpu.ops.stencil import StencilCellBatch
+
+    s, _ = _box_problem(16)
+    (batch,) = s.op.batches
+    assert isinstance(batch, StencilCellBatch)
+    assert batch.masks is None
+
+
 def test_s1_f32_vcycle_preconditioner():
     """The bench configuration: f64 BiCGStab with an f32 V-cycle on the S1
     phi-FEM system (penalty rows span a large dynamic range — the cast must
