@@ -56,18 +56,18 @@ def bench_poisson_mg(n: int) -> dict:
     t_setup = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    vc = s.mg_preconditioner(min_n=13, dtype=jnp.float32)
+    mg = s.lattice_solver(min_n=16, dtype=jnp.float32)
     t_mg = time.perf_counter() - t0
 
-    # float64 CG with the float32 V-cycle preconditioner: MG-rate
-    # convergence (~10x residual per iteration) down to the f64 rounding
-    # floor ~ eps64 * kappa(A).  (Mixed-precision iterative refinement
-    # [solvers.solve_ir] is NOT used here: its per-round reduction is
-    # capped at ~kappa * eps32, which at 10M DoFs [kappa ~ 1e7] is ~0.6 —
-    # see the solve_ir docstring.)
-    # cold run compiles the CG/V-cycle program + all level kernels
-    r0, t_cold = _t(s.solve, method="cg", tol=1e-10, maxiter=30, precond=vc)
-    r, t_solve = _t(s.solve, method="cg", tol=1e-10, maxiter=30, precond=vc)
+    # lattice-resident solve (ops.lattice): float64 CG with the float32
+    # 2D V-cycle preconditioner, whole Krylov loop in one on-chip
+    # lax.while_loop.  MG-rate convergence (grid-independent ~8 iters)
+    # down to the f64 rounding floor.  (Mixed-precision iterative
+    # refinement [solvers.solve_ir] is NOT used: its per-round reduction
+    # is capped at ~kappa * eps32, which at 10M DoFs [kappa ~ 1e7] is
+    # ~0.6 — see the solve_ir docstring.)
+    r0, t_cold = _t(s.solve_lattice, tol=1e-10, maxiter=40, mg=mg)
+    r, t_solve = _t(s.solve_lattice, tol=1e-10, maxiter=40, mg=mg)
 
     ndofs = s.system.num_dofs
     return {
@@ -79,7 +79,8 @@ def bench_poisson_mg(n: int) -> dict:
         "mg_setup_s": round(t_mg, 2),
         "residual": f"{r.residual:.2e}",
         "converged": bool(r.converged),
-        "mg_levels": len(vc.levels),
+        "iterations": int(r.iterations),
+        "mg_levels": len(mg.levels),
         "mdofs_per_s": round(ndofs / t_solve / 1e6, 2),
     }
 

@@ -260,7 +260,7 @@ def _cell_local_fn(system: System, term: CellTerm, grid: Grid, data: Dict):
 
     def cell_data(cells: Array, arrays: Optional[Dict] = None) -> Dict:
         cd = {
-            "orient": grid.cell_orientations[cells],
+            "orient": grid.orientation_of(cells),
             "x": grid.map_to_physical(cells, ref_pts),
         }
         for k, f in fn_data.items():
@@ -336,7 +336,7 @@ def _facet_local_fn(system: System, term, grid: Grid, data: Dict, one_sided: boo
             "len": grid.facet_lengths[facets],
         }
         for s, (cells, locs) in enumerate(zip(cells_sides, locals_sides)):
-            cd[f"orient{s}"] = grid.cell_orientations[cells]
+            cd[f"orient{s}"] = grid.orientation_of(cells)
             cd[f"lf{s}"] = locs
             for k, f in fn_data.items():
                 dat = arrays[k] if arrays is not None else f.data
@@ -645,6 +645,21 @@ class Operator:
 
 
 # ------------------------------------------------------------ entry points
+def uniform_element_matrices(
+    system: System, grid: Grid, integrand, degree: int
+) -> Array:
+    """(norient, nloc, nloc) element matrices of a geometry-uniform
+    bilinear cell term — the raw material for vertex-stencil aggregation
+    (:func:`phifem_tpu.ops.lattice.vertex_stencil_weights`)."""
+    term = CellTerm(integrand, None, degree=degree, uniform=True)
+    local, cell_data, ntot, _, _ = _cell_local_fn(system, term, grid, {})
+    zeros = jnp.zeros(ntot, _float_dtype())
+    mat_fn = jax.jacfwd(jax.grad(local, argnums=1), argnums=0)
+    norient = 2 if grid.is_simplex else 1
+    rep = jnp.arange(norient, dtype=jnp.int32)
+    return jax.jit(jax.vmap(lambda c: mat_fn(zeros, zeros, c)))(cell_data(rep))
+
+
 def _segments_for_cells(system: System, cells: Array):
     return [
         (n, s.cell_dofs[cells], tuple(s.value_shape))
@@ -699,27 +714,42 @@ def assemble_operator(
             rep = jnp.arange(norient, dtype=jnp.int32)  # cells 0..norient-1
             cd = cell_data(rep)
             mats = jax.jit(jax.vmap(lambda c: mat_fn(zeros, zeros, c)))(cd)
-            cells = _region_cells(grid, cell_tags, term.region)
-            cells_j = jnp.asarray(cells)
-            segs, mats, _ = _prune_batch(_segments_for_cells(system, cells_j), mats)
-            if not segs:
+            # decide pruning / the stencil fast path from the layout alone
+            # BEFORE materializing per-cell DoF tables: at 10M DoFs the
+            # (ncells, nloc) gather is ~250 MB of traffic the stencil path
+            # would immediately discard
+            nz = np.abs(np.asarray(mats)).sum(axis=0)
+            used_cols = (nz.sum(axis=1) > 0.0) | (nz.sum(axis=0) > 0.0)
+            fields_used, cur = [], 0
+            for name, nloc, vs, ln in layout:
+                if used_cols[cur : cur + ln].any():
+                    fields_used.append((name, vs))
+                cur += ln
+            if not fields_used:
                 continue  # term is identically zero (e.g. P1 Laplacian stab)
             if (
-                len(segs) == 1
-                and not segs[0][2]  # scalar field
-                and system.fields[segs[0][0]].element.family == "Lagrange"
-                and system.fields[segs[0][0]].degree == 1
+                len(fields_used) == 1
+                and not fields_used[0][1]  # scalar field
+                and system.fields[fields_used[0][0]].element.family == "Lagrange"
+                and system.fields[fields_used[0][0]].degree == 1
             ):
                 # stencil fast path: pure shifted adds on the vertex lattice
                 from .ops.stencil import StencilCellBatch
 
+                _, mats_p, _ = _prune_batch(
+                    [(n, np.zeros((1, system.fields[n].nloc), np.int32), vs)
+                     for n, nloc, vs, ln in layout], mats
+                )
                 batches.append(
                     StencilCellBatch.build(
-                        grid, segs[0][0], mats, cell_tags, term.region
+                        grid, fields_used[0][0], mats_p, cell_tags, term.region
                     )
                 )
                 continue
-            batches.append(Batch(segs, mats, orient=grid.cell_orientations[cells_j]))
+            cells = _region_cells(grid, cell_tags, term.region)
+            cells_j = jnp.asarray(cells)
+            segs, mats, _ = _prune_batch(_segments_for_cells(system, cells_j), mats)
+            batches.append(Batch(segs, mats, orient=grid.orientation_of(cells_j)))
         else:
             cells = _region_cells(grid, cell_tags, term.region)
             cells_j = jnp.asarray(cells)

@@ -387,7 +387,19 @@ class Grid:
     # ----------------------------------------------------- device constants
     @cached_property
     def vertex_coords(self) -> Array:
-        return _const(self.vertex_coords_np)
+        # device-generated from iotas: uploading the host table through a
+        # remote-device tunnel measured ~80 s for 10M vertices (164 MB);
+        # the lattice is an affine function of the index, so build it
+        # on-device (matches vertex_coords_np bit-exactly: same ops/order)
+        import jax
+
+        ft = _np_float()
+        with jax.ensure_compile_time_eval():
+            xs = self.x0 + jnp.arange(self.nx + 1, dtype=ft) * ft(self.hx)
+            ys = self.y0 + jnp.arange(self.ny + 1, dtype=ft) * ft(self.hy)
+            X = jnp.broadcast_to(xs[None, :], (self.ny + 1, self.nx + 1))
+            Y = jnp.broadcast_to(ys[:, None], (self.ny + 1, self.nx + 1))
+            return jnp.stack([X, Y], axis=-1).reshape(-1, 2)
 
     @cached_property
     def cell_vertices(self) -> Array:
@@ -447,6 +459,44 @@ class Grid:
         )
 
     # ------------------------------------------------------ traced mapping
+    def orientation_of(self, cells: Array) -> Array:
+        """Per-cell orientation, closed form on-device (no table upload)."""
+        cells = jnp.asarray(cells)
+        if self.is_simplex:
+            return (cells % 2).astype(jnp.int32)
+        return jnp.zeros(cells.shape, jnp.int32)
+
+    def cell_vertex_coords_of(self, cells: Array) -> Array:
+        """(len(cells), nv, 2) vertex coordinates, computed on-device from
+        closed-form index arithmetic — NOT a gather from the materialized
+        (num_cells, nv, 2) table (``cell_vertex_coords``), whose host build
+        + upload is ~1 GB at 10M DoFs (measured ~100 s through the remote
+        -device tunnel).  Traced (jit-safe)."""
+        ft = jnp.float64 if _x64() else jnp.float32
+        cells = jnp.asarray(cells)
+        if self.is_simplex:
+            block, which = cells // 2, cells % 2
+        else:
+            block, which = cells, jnp.zeros_like(cells)
+        ix, iy = block % self.nx, block // self.nx
+        # corner coords (same op order as vertex_coords_np for bit parity)
+        def vc(jx, jy):
+            return jnp.stack(
+                [
+                    self.x0 + jx.astype(ft) * ft(self.hx),
+                    self.y0 + jy.astype(ft) * ft(self.hy),
+                ],
+                axis=-1,
+            )
+
+        v00, v10 = vc(ix, iy), vc(ix + 1, iy)
+        v01, v11 = vc(ix, iy + 1), vc(ix + 1, iy + 1)
+        if not self.is_simplex:
+            return jnp.stack([v00, v10, v01, v11], axis=1)
+        lower = jnp.stack([v00, v10, v11], axis=1)
+        upper = jnp.stack([v00, v11, v01], axis=1)
+        return jnp.where((which == 0)[:, None, None], lower, upper)
+
     def map_to_physical(self, cells: Array, ref_pts: Array) -> Array:
         """Map reference-cell points to physical space, batched over cells.
 
@@ -457,7 +507,7 @@ class Grid:
         ft = jnp.float64 if _x64() else jnp.float32
         ref_pts = jnp.asarray(ref_pts, ft)
         r, s = ref_pts[None, :, 0:1], ref_pts[None, :, 1:2]
-        verts = self.cell_vertex_coords[cells]  # (nc, nv, 2)
+        verts = self.cell_vertex_coords_of(cells)  # (nc, nv, 2)
         # barycentric / bilinear combination x = sum_k psi_k(X) p_k — the
         # same arithmetic FFCx-generated kernels use to push quadrature
         # points forward, so knife-edge level-set signs at mapped points

@@ -151,7 +151,7 @@ def evaluate_at_cell_points(
         tab = levelset.space._basis_jnp(ref_pts)  # (nc, npts, nloc)
         nodal = levelset.data[levelset.space.cell_dofs[cells]]  # (nc, nloc)
         return jnp.einsum("cpl,cl->cp", tab, nodal)
-    verts = grid.cell_vertex_coords[cells]
+    verts = grid.cell_vertex_coords_of(cells)
     r, s = ref_pts[..., 0:1], ref_pts[..., 1:2]
     # same barycentric/bilinear push-forward as Grid.map_to_physical
     if not grid.is_simplex:

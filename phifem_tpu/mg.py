@@ -146,6 +146,14 @@ class VCycle:
             return self._smooth(lvl, zero, b, self.coarse_sweeps)
         x = self._smooth(lvl, zero, b, self.pre_smooth)
         r = jax.tree.map(lambda bi, ai: bi - ai, b, lvl.matvec(x))
+        # the residual at inactive/BC rows is b - x (identity rows) — with
+        # nonzero Dirichlet data that is NONZERO early in the outer Krylov
+        # iteration, and restricting it would contaminate the coarse
+        # correction near the boundary (observed: CG stall at relres ~0.9).
+        # Only active-row residuals participate in coarse-grid correction.
+        r = jax.tree.map(
+            lambda ri, m: jnp.where(m, ri, jnp.zeros_like(ri)), r, lvl.active
+        )
         coarse_lvl = self.levels[k + 1]
         rc = {}
         for name, v in r.items():
@@ -221,6 +229,17 @@ class VCycle:
 
     def _apply(self, b):
         x = self._cycle(0, b)
+        # identity on inactive/BC rows: the cycle never writes them (z=0
+        # there), which makes M singular on the identity block of the
+        # masked operator — outer CG then can never correct nonzero
+        # Dirichlet components (observed stall at relres ~0.7 with
+        # nonhomogeneous u_D).  M must be SPD on the FULL space.
+        x = jax.tree.map(
+            lambda xi, bi, m: jnp.where(m, xi, bi),
+            x,
+            b,
+            self.levels[0].active,
+        )
         if self.interface_inv is not None:
             # multiplicative correction: exact solve on the cut-cell /
             # ghost-facet DoF block — the modes pointwise smoothing cannot

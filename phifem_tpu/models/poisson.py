@@ -16,8 +16,9 @@ from typing import Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..assembly import CellTerm, System, assemble_operator, assemble_vector
+from ..assembly import CellTerm, System, assemble_operator
 from ..grid import Grid
 from ..solvers import DirichletBC, SolveResult, solve
 from ..spaces import Function, Space, boundary_dof_mask, interpolate
@@ -70,22 +71,35 @@ class BoxPoisson:
 
         f_h = self.f if isinstance(self.f, Function) else interpolate(self.f, self.V)
 
-        # load vector as a mass-stencil matvec, b = M f_h (f interpolated
-        # into V): on the uniform lattice the mass matrix is one more
-        # orientation-stencil, so this reuses the exact kernel shapes the
-        # V-cycle compiles anyway — instead of a dedicated 2*nc-cell
-        # quadrature kernel whose cold compile dominates setup at 10M DoF
+        # load vector b = M f_h as a 9-point vertex-stencil convolution
+        # (ops.lattice): interior mass rows are uniform (every interior
+        # vertex has a full cell ring), and boundary rows are don't-care —
+        # they are overwritten by the Dirichlet lift in every solve path.
+        # This avoids assembling a second operator and the cold compile of
+        # a dedicated 10M-DoF kernel (~minutes through a remote compiler).
         def mass(u, v, d, x, ctx):
             return u["u"].val * v["u"].val
 
-        M = assemble_operator(
-            self.system,
-            g,
-            cell_terms=[
-                (CellTerm(mass, None, degree=2 * self.primal_degree, uniform=True), {})
-            ],
-        )
-        self.b = M.matvec({"u": f_h.data})
+        from ..assembly import uniform_element_matrices
+        from ..ops.lattice import _conv_interior, _terms, vertex_stencil_weights
+        from ..ops.stencil import _QUAD_OFFS, _TRI_OFFS
+
+        mats = uniform_element_matrices(self.system, g, mass, 2 * self.primal_degree)
+        offs = _TRI_OFFS if g.is_simplex else (_QUAD_OFFS,)
+        terms = _terms(vertex_stencil_weights(np.asarray(mats), offs))
+        R, C = g.ny + 1, g.nx + 1
+
+        @jax.jit
+        def _load(fd):
+            fp = jnp.zeros((R + 2, C + 2), fd.dtype).at[1 : 1 + R, 1 : 1 + C].set(
+                fd.reshape(R, C)
+            )
+            b2 = jnp.zeros((R, C), fd.dtype).at[1:-1, 1:-1].set(
+                _conv_interior(fp, terms, R, C)
+            )
+            return b2.reshape(-1)
+
+        self.b = {"u": _load(f_h.data)}
         return self
 
     def mg_preconditioner(self, min_n: int = 8, dtype=None, **vcycle_kw):
@@ -107,6 +121,74 @@ class BoxPoisson:
 
     def solve(self, method: str = "cg", tol: float = 1e-10, **kw) -> SolveResult:
         res = solve(self.op, self.b, bcs=self.bcs, method=method, tol=tol, **kw)
+        self.result = res
+        self.u_h = Function(self.V, res.x["u"])
+        return res
+
+    # ---------------------------------------------------- lattice fast path
+    def lattice_solver(self, min_n: int = 16, dtype=jnp.float32, **kw):
+        """2D lattice-resident V-cycle (ops.lattice) — the north-star bench
+        preconditioner.  Zero per-level assembly: the P1 stiffness vertex
+        stencil is refinement-invariant in 2D."""
+        from ..ops.lattice import build_lattice_mg, vertex_stencil_weights
+        from ..ops.stencil import _QUAD_OFFS, _TRI_OFFS, StencilCellBatch
+
+        batch = next(
+            b for b in self.op.batches if isinstance(b, StencilCellBatch)
+        )
+        offs = _TRI_OFFS if self.grid.is_simplex else (_QUAD_OFFS,)
+        w = vertex_stencil_weights(np.asarray(batch.matrices), offs)
+        return build_lattice_mg(
+            self.grid.nx, self.grid.ny, w, min_n=min_n, dtype=dtype, **kw
+        )
+
+    def solve_lattice(
+        self, tol: float = 1e-10, maxiter: int = 60, mg=None
+    ) -> SolveResult:
+        """Solve on 2D padded lattices: f64 MG(f32)-preconditioned CG with
+        the whole Krylov loop in one on-chip ``lax.while_loop``."""
+        from ..ops.lattice import lattice_cg
+
+        if mg is None:
+            mg = self._lattice_mg = getattr(self, "_lattice_mg", None) or (
+                self.lattice_solver()
+            )
+        g = self.grid
+        R, C = g.ny + 1, g.nx + 1
+
+        key = ("lattice", id(mg), float(tol), int(maxiter))
+        cache = getattr(self, "_lat_cache", None)
+        if cache is None:
+            cache = self._lat_cache = {}
+        runner = cache.get(key)
+        if runner is None:
+
+            @jax.jit
+            def runner(b_flat, uD_flat):
+                b2 = b_flat.reshape(R, C)
+                uD2 = uD_flat.reshape(R, C)
+                border = jnp.zeros((R, C), bool).at[0, :].set(True)
+                border = border.at[-1, :].set(True).at[:, 0].set(True)
+                border = border.at[:, -1].set(True)
+                xD = jnp.where(border, uD2, 0.0)
+                xDp = jnp.zeros((R + 2, C + 2), b2.dtype).at[
+                    1 : 1 + R, 1 : 1 + C
+                ].set(xD)
+                from ..ops.lattice import _conv_interior, _embed
+
+                lift = _conv_interior(xDp, mg.terms, R, C)
+                bp = _embed(b2[1:-1, 1:-1] - lift, R, C)
+                xp, rel, it = lattice_cg(mg, bp, tol=tol, maxiter=maxiter)
+                u2 = xp[1 : 1 + R, 1 : 1 + C] + xD
+                return u2.reshape(-1), rel, it
+
+            cache[key] = runner
+
+        u, rel, it = runner(self.b["u"], self.u_D.data)
+        rel = float(rel)
+        res = SolveResult(
+            x={"u": u}, residual=rel, iterations=int(it), converged=rel <= tol
+        )
         self.result = res
         self.u_h = Function(self.V, res.x["u"])
         return res

@@ -1,0 +1,306 @@
+"""2D lattice-resident geometric multigrid for uniform P1 box problems.
+
+The north-star bench path (BASELINE.md: sub-second 10M-DoF Poisson CG to
+1e-10 relative residual).  The reduced operator of a uniform single-scalar
+P1 cell term with Dirichlet conditions on the box boundary is EXACTLY a
+constant-coefficient 9-point vertex stencil applied to the zero-extended
+interior: every interior vertex touches a full ring of cells, so its
+operator row equals the aggregated vertex-stencil weights, and boundary
+rows are identity (BC).  On the standard right-triangle split the P1
+stiffness stencil degenerates to the classic 5-point Laplacian (the
+diagonal couplings cancel), so the matvec is 5 shifted adds.
+
+That makes the whole MG-preconditioned CG solver expressible as
+gather-form shifted-slice arithmetic on 2D ``(rows, cols)`` arrays — no
+gathers, scatters, region masks, pack/unpack or flat<->lattice reshapes
+anywhere on the hot path.  XLA fuses each stage (Jacobi sweep, residual,
+full-weighting restriction, bilinear prolongation-and-correct) into a few
+memory passes, which is the bandwidth roofline for this computation; the
+float64 outer CG rides the same convolution (v5e emulates f64, but one
+fine matvec per iteration is cheap next to the f32 V-cycle).
+
+Replaces (for this problem class) the flat-vector V-cycle in
+:mod:`phifem_tpu.mg`, whose per-level pack/unpack + scatter-add transfers
+measured ~22 ms per cycle at 1M DoFs vs ~0.5 ms for the raw stencil
+matvec.  Reference counterpart: the PETSc/MUMPS direct solve
+(``demo/weak-dirichlet/flower/main.py:162-182``) — the reference has no
+multigrid; this is the TPU-native scalable equivalent.
+
+Layout: ``(R+2, C+2)`` padded arrays for an ``R x C`` vertex lattice
+(``R = ny+1``); logical node ``(r, c)`` lives at ``[1+r, 1+c]``.  For
+*reduced* vectors (Krylov iterates, residuals) the padding ring AND the
+logical boundary ring stay identically zero, so the active interior is
+``[2:R, 2:C]``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+__all__ = ["vertex_stencil_weights", "LatticeMG", "build_lattice_mg", "lattice_cg"]
+
+
+def vertex_stencil_weights(mats, offs_per_orient) -> np.ndarray:
+    """Aggregate per-orientation element matrices into the (3, 3) vertex
+    stencil ``w[1+dy, 1+dx]`` valid at every interior lattice vertex.
+
+    ``y[v] = sum_cells sum_{i: node_i=v} sum_j A[i,j] x[node_j]``; for an
+    interior vertex every (orientation, i, j) combination occurs exactly
+    once, displaced by ``off_j - off_i``.
+    """
+    w = np.zeros((3, 3))
+    mats = np.asarray(mats, np.float64)
+    for o, offs in enumerate(offs_per_orient):
+        for i, (dxi, dyi) in enumerate(offs):
+            for j, (dxj, dyj) in enumerate(offs):
+                w[1 + dyj - dyi, 1 + dxj - dxi] += mats[o, i, j]
+    return w
+
+
+def _terms(w: np.ndarray) -> List[Tuple[int, int, float]]:
+    """Nonzero (a, b, weight) triples — zero couplings (e.g. the diagonal
+    terms of the triangle stiffness stencil) are dropped at trace time."""
+    out = []
+    for a in range(3):
+        for b in range(3):
+            if abs(w[a, b]) > 1e-14 * max(1e-300, np.abs(w).max()):
+                out.append((a, b, float(w[a, b])))
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class _Level:
+    R: int  # logical lattice rows (ny + 1)
+    C: int  # logical lattice cols (nx + 1)
+
+
+def _conv_interior(xp: Array, terms, R: int, C: int) -> Array:
+    """(A x) at the logical-interior nodes: shape (R-2, C-2).
+
+    Interior node ``r in [1, R-2]`` reads padded rows ``r + a`` for
+    ``a in {0,1,2}`` — pure static slices, fused by XLA into one pass.
+    """
+    dt = xp.dtype
+    acc = None
+    for a, b, wt in terms:
+        part = jnp.asarray(wt, dt) * xp[a + 1 : a + R - 1, b + 1 : b + C - 1]
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _embed(v: Array, R: int, C: int) -> Array:
+    """Zero-embed a logical-interior (R-2, C-2) block into padded (R+2, C+2)."""
+    out = jnp.zeros((R + 2, C + 2), v.dtype)
+    return out.at[2:R, 2:C].set(v)
+
+
+def _interleave_cols(A: Array, H: Array) -> Array:
+    """[a0 h0 a1 h1 ... a_{m-1}] from A (r, m) and H (r, m-1)."""
+    r, m = A.shape
+    body = jnp.stack([A[:, : m - 1], H], axis=2).reshape(r, 2 * (m - 1))
+    return jnp.concatenate([body, A[:, m - 1 :]], axis=1)
+
+
+def _interleave_rows(A: Array, H: Array) -> Array:
+    m, c = A.shape
+    body = jnp.stack([A[: m - 1], H], axis=1).reshape(2 * (m - 1), c)
+    return jnp.concatenate([body, A[m - 1 :]], axis=0)
+
+
+def _prolong(Ecp: Array, Rc: int, Cc: int) -> Array:
+    """Bilinear prolongation, interleave form (no strided scatters).
+
+    Input: coarse padded (Rc+2, Cc+2) reduced vector.  Output: the fine
+    logical (R, C) = (2Rc-1, 2Cc-1) lattice of corrections (boundary rows
+    are zero because the coarse boundary ring is zero).
+    """
+    E = Ecp[1 : 1 + Rc, 1 : 1 + Cc]
+    Hc = 0.5 * (E[:, :-1] + E[:, 1:])
+    W = _interleave_cols(E, Hc)  # (Rc, 2Cc-1)
+    Hr = 0.5 * (W[:-1] + W[1:])
+    return _interleave_rows(W, Hr)  # (2Rc-1, 2Cc-1)
+
+
+def _restrict(r_int: Array, Rc: int, Cc: int) -> Array:
+    """Full-weighting restriction (transpose of bilinear prolongation,
+    weight sum 4 — the correct scaling between re-discretized scale-free
+    operators in 2D).  ``r_int``: fine logical-interior (R-2, C-2) with
+    the convention that the fine boundary residual is zero.  Returns the
+    coarse padded (Rc+2, Cc+2) reduced vector.
+    """
+    out = None
+    # coarse interior i in [1, Rc-2] reads fine logical rows 2i+s,
+    # s in {-1,0,1}; r_int index = logical - 1 -> start s+1, stride 2
+    n_i, n_j = Rc - 2, Cc - 2
+    for s, ws in ((-1, 0.5), (0, 1.0), (1, 0.5)):
+        rows = r_int[1 + s :: 2][:n_i]
+        for t, wt in ((-1, 0.5), (0, 1.0), (1, 0.5)):
+            part = (ws * wt) * rows[:, 1 + t :: 2][:, :n_j]
+            out = part if out is None else out + part
+    return _embed(out.astype(r_int.dtype), Rc, Cc)
+
+
+def _dense_coarse_inv(terms, R: int, C: int) -> np.ndarray:
+    """Exact inverse of the reduced operator on the coarsest interior."""
+    ni, nj = R - 2, C - 2
+    n = ni * nj
+    A = np.zeros((n, n))
+    for a, b, wt in terms:
+        dy, dx = a - 1, b - 1
+        for i in range(ni):
+            i2 = i + dy
+            if not (0 <= i2 < ni):
+                continue
+            for j in range(nj):
+                j2 = j + dx
+                if 0 <= j2 < nj:
+                    A[i * nj + j, i2 * nj + j2] += wt
+    return np.linalg.inv(A)
+
+
+@dataclasses.dataclass
+class LatticeMG:
+    """V-cycle preconditioner on 2D padded lattices.
+
+    ``__call__(bp)`` treats ``bp`` (padded, reduced) as a right-hand side
+    and returns an approximate ``A^{-1} bp`` computed in ``dtype``
+    (float32 by default), cast back to the input dtype.
+    """
+
+    levels: List[_Level]
+    terms: List[Tuple[int, int, float]]
+    coarse_inv: Array  # (n, n) dense inverse on the coarsest interior
+    dtype: jnp.dtype = jnp.float32
+    omega: float = 0.8
+    pre_smooth: int = 2
+    post_smooth: int = 2
+
+    def __post_init__(self):
+        self._dinv = 1.0 / next(wt for a, b, wt in self.terms if a == 1 and b == 1)
+
+    # -- fused Jacobi sweep: x += omega * dinv * (b - A x) on the interior
+    def _smooth(self, xp, bp, lvl: _Level, sweeps: int):
+        R, C = lvl.R, lvl.C
+        od = jnp.asarray(self.omega * self._dinv, xp.dtype)
+        for _ in range(sweeps):
+            r = bp[2:R, 2:C] - _conv_interior(xp, self.terms, R, C)
+            xp = xp.at[2:R, 2:C].add(od * r)
+        return xp
+
+    def _cycle(self, k: int, bp):
+        lvl = self.levels[k]
+        R, C = lvl.R, lvl.C
+        if k == len(self.levels) - 1:
+            v = self.coarse_inv.astype(bp.dtype) @ bp[2:R, 2:C].reshape(-1)
+            return _embed(v.reshape(R - 2, C - 2), R, C)
+        xp = self._smooth(jnp.zeros_like(bp), bp, lvl, self.pre_smooth)
+        r_int = bp[2:R, 2:C] - _conv_interior(xp, self.terms, R, C)
+        nxt = self.levels[k + 1]
+        bc = _restrict(r_int, nxt.R, nxt.C)
+        ec = self._cycle(k + 1, bc)
+        corr = _prolong(ec, nxt.R, nxt.C)  # fine logical (R, C)
+        xp = xp.at[2:R, 2:C].add(corr[1:-1, 1:-1])
+        return self._smooth(xp, bp, lvl, self.post_smooth)
+
+    def __call__(self, bp: Array) -> Array:
+        in_dt = bp.dtype
+        if in_dt != self.dtype:
+            bp = bp.astype(self.dtype)
+        xp = self._cycle(0, bp)
+        return xp.astype(in_dt)
+
+
+def build_lattice_mg(
+    nx: int,
+    ny: int,
+    w: np.ndarray,
+    min_n: int = 16,
+    dtype=jnp.float32,
+    **kw,
+) -> LatticeMG:
+    """Build the V-cycle for an ``nx x ny``-block lattice with vertex
+    stencil ``w``.  The 2D P1 stiffness stencil is refinement-invariant,
+    so every level shares ``w`` — no per-level assembly at all.
+    """
+    levels = [_Level(ny + 1, nx + 1)]
+    while (
+        nx % 2 == 0 and ny % 2 == 0 and nx // 2 >= min_n and ny // 2 >= min_n
+    ):
+        nx //= 2
+        ny //= 2
+        levels.append(_Level(ny + 1, nx + 1))
+    terms = _terms(np.asarray(w))
+    inv = _dense_coarse_inv(terms, levels[-1].R, levels[-1].C)
+    return LatticeMG(levels, terms, jnp.asarray(inv, dtype), dtype=dtype, **kw)
+
+
+def lattice_cg(
+    mg: LatticeMG,
+    bp: Array,
+    tol: float = 1e-10,
+    maxiter: int = 40,
+    x0: Optional[Array] = None,
+):
+    """MG-preconditioned CG on padded lattices (full precision of ``bp``,
+    V-cycle in ``mg.dtype``).  Returns ``(xp, relres, iters)``.
+
+    Hand-rolled PCG (rather than ``jax.scipy.sparse.linalg.cg``) so the
+    whole solve is one ``lax.while_loop`` with a cheap scalar exit test —
+    on a remote device this keeps the entire Krylov loop on-chip.
+    """
+    lvl = mg.levels[0]
+    R, C = lvl.R, lvl.C
+    terms = mg.terms
+    dt = bp.dtype
+
+    def matvec(xp):
+        return _embed(_conv_interior(xp, terms, R, C), R, C)
+
+    def dot64(a, b):
+        return jnp.vdot(a, b)
+
+    # CG coefficient dots run in float32: on v5e float64 is emulated and
+    # its REDUCTIONS are pathologically slow (measured 4.3 ms vs 0.13 ms
+    # f32 at 1M entries — 3 dots/iter would dominate the whole solve).
+    # alpha/beta only need ~1e-6 relative accuracy (inexact-coefficient
+    # PCG behaves like flexible CG; the f64 recurrence keeps the residual
+    # itself accurate).  The system is normalized by ||b|| so the f32
+    # squares stay in normal range down to relres 1e-12.
+    def dot32(a, b):
+        return jnp.vdot(a.astype(jnp.float32), b.astype(jnp.float32)).astype(dt)
+
+    bnorm = jnp.sqrt(dot64(bp, bp))
+    bscale = jnp.maximum(bnorm, jnp.finfo(dt).tiny)
+    bn = bp / bscale
+
+    x = jnp.zeros_like(bn) if x0 is None else x0 / bscale
+    r = bn - matvec(x) if x0 is not None else bn
+    tol2 = jnp.asarray(tol, dt) ** 2
+
+    def body(state):
+        x, r, p, z, rz, it = state
+        Ap = matvec(p)
+        alpha = rz / dot32(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = mg(r)
+        rz_new = dot32(r, z)
+        p = z + (rz_new / rz) * p
+        return x, r, p, z, rz_new, it + 1
+
+    def cond(state):
+        x, r, p, z, rz, it = state
+        return jnp.logical_and(dot32(r, r) > tol2, it < maxiter)
+
+    z0 = mg(r)
+    state = (x, r, z0, z0, dot32(r, z0), jnp.asarray(0, jnp.int32))
+    x, r, p, z, rz, it = jax.lax.while_loop(cond, body, state)
+    relres = jnp.sqrt(dot64(r, r))  # one exact f64 residual norm at the end
+    return x * bscale, relres, it

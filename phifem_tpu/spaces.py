@@ -183,6 +183,10 @@ class Space:
 
     @cached_property
     def dof_coords(self) -> Array:
+        if self.element.family == "Lagrange" and self.degree == 1:
+            # P1 scalar DoFs ARE the vertices — reuse the device-generated
+            # lattice (no 10M-row host->device upload, see Grid.vertex_coords)
+            return self.grid.vertex_coords
         from .grid import _const
 
         return _const(self.dof_coords_np)
@@ -288,7 +292,7 @@ class Function:
         gref = self.space._basis_jnp(ref, deriv=1)  # (n, nloc, 2)
         J, _ = self.space.grid.cell_jacobians()
         Jinv = jnp.linalg.inv(J)  # (norient, 2, 2)
-        Jinv_c = Jinv[self.space.grid.cell_orientations[cells]]
+        Jinv_c = Jinv[self.space.grid.orientation_of(cells)]
         gphys = jnp.einsum("nlr,nrx->nlx", gref, Jinv_c)
         nodal = self.data[self.space.cell_dofs[cells]]
         return jnp.einsum("nlx,nl...->n...x", gphys, nodal)

@@ -1,0 +1,121 @@
+"""Lattice-resident MG (ops.lattice): the 2D north-star Poisson path.
+
+Oracles: the general masked-operator path (same discretization, so results
+must agree to solver tolerance) and the analytic solution.  Also pins two
+V-cycle preconditioner bugs found via this path (mg.py): BC-row residual
+leak through restriction, and M singular on the identity block.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import phifem_tpu as pf
+from phifem_tpu.models import BoxPoisson
+from phifem_tpu.ops.lattice import (
+    _conv_interior,
+    _embed,
+    _prolong,
+    _restrict,
+    build_lattice_mg,
+    lattice_cg,
+    vertex_stencil_weights,
+)
+from phifem_tpu.solvers import masked_operator
+
+
+def _problem(n, ct):
+    g = pf.Grid(n, n, ((0.0, 0.0), (1.0, 1.0)), ct)
+    uex = lambda x: jnp.sin(jnp.pi * x[..., 0]) * jnp.sin(jnp.pi * x[..., 1]) + x[..., 0]
+    f = lambda x: 2.0 * jnp.pi**2 * (uex(x) - x[..., 0])
+    s = BoxPoisson(g).setup(f, uex)
+    s.assemble()
+    return s, uex
+
+
+@pytest.mark.parametrize("ct", ["triangle", "quadrilateral"])
+def test_conv_matches_masked_operator(ct):
+    """The 9-point vertex-stencil convolution equals the general masked
+    matvec at every interior node (boundary rows are identity vs zero)."""
+    n = 24
+    s, _ = _problem(n, ct)
+    mg = s.lattice_solver(min_n=12, dtype=jnp.float64)
+    R = C = n + 1
+    rng = np.random.default_rng(0)
+    x2 = np.zeros((R, C))
+    x2[1:-1, 1:-1] = rng.standard_normal((R - 2, C - 2))
+    xp = jnp.zeros((R + 2, C + 2)).at[1 : 1 + R, 1 : 1 + C].set(x2)
+    y_lat = np.asarray(_embed(_conv_interior(xp, mg.terms, R, C), R, C))[
+        1 : 1 + R, 1 : 1 + C
+    ]
+    mv, _, _ = masked_operator(s.op, s.bcs)
+    y_gen = np.asarray(mv({"u": jnp.asarray(x2.reshape(-1))})["u"]).reshape(R, C)
+    assert np.abs(y_lat[1:-1, 1:-1] - y_gen[1:-1, 1:-1]).max() < 1e-11
+
+
+def test_tri_stiffness_is_five_point():
+    """P1 stiffness on the right-triangle split degenerates to the classic
+    5-point Laplacian: the diagonal couplings cancel and are dropped."""
+    s, _ = _problem(8, "triangle")
+    mg = s.lattice_solver(min_n=4, dtype=jnp.float64)
+    assert len(mg.terms) == 5
+    offs = {(a, b) for a, b, w in mg.terms}
+    assert offs == {(1, 1), (0, 1), (2, 1), (1, 0), (1, 2)}
+
+
+def test_transfer_adjointness():
+    """restrict == prolong^T (weight sum 4) on reduced vectors."""
+    rng = np.random.default_rng(1)
+    Rc = Cc = 9
+    R, C = 2 * Rc - 1, 2 * Cc - 1
+    ec = np.zeros((Rc + 2, Cc + 2))
+    ec[2:Rc, 2:Cc] = rng.standard_normal((Rc - 2, Cc - 2))
+    rf = rng.standard_normal((R - 2, C - 2))
+    # <P e, r>_f (interior inner product)
+    Pe = np.asarray(_prolong(jnp.asarray(ec), Rc, Cc))[1:-1, 1:-1]
+    lhs = float((Pe * rf).sum())
+    # <e, R r>_c
+    Rr = np.asarray(_restrict(jnp.asarray(rf), Rc, Cc))
+    rhs = float((ec * Rr).sum())
+    assert abs(lhs - rhs) < 1e-10 * max(1.0, abs(lhs))
+
+
+@pytest.mark.parametrize("ct", ["triangle", "quadrilateral"])
+def test_lattice_solve_matches_general(ct):
+    """solve_lattice == the general equilibrated MG-CG path, with
+    NONZERO Dirichlet data (pins the two mg.py BC fixes: residual masking
+    before restriction + identity on inactive rows in the preconditioner)."""
+    n = 48
+    s, uex = _problem(n, ct)
+    r = s.solve_lattice(tol=1e-11, maxiter=60)
+    assert r.converged and r.iterations <= 15
+    vc = s.mg_preconditioner(min_n=12)
+    rg = s.solve(method="cg", tol=1e-11, maxiter=200, precond=vc)
+    assert rg.converged, rg.residual
+    du = np.abs(np.asarray(r.x["u"] - rg.x["u"])).max()
+    assert du < 1e-7, du
+    # and both match the analytic solution at discretization accuracy
+    ue = np.asarray(pf.interpolate(uex, s.V).data)
+    err = np.linalg.norm(np.asarray(r.x["u"]) - ue) / np.linalg.norm(ue)
+    assert err < 5e-3, err
+
+
+def test_lattice_grid_independent_iterations():
+    """MG quality: iteration count must not grow with refinement."""
+    iters = []
+    for n in (32, 64, 128):
+        s, _ = _problem(n, "triangle")
+        r = s.solve_lattice(tol=1e-10, maxiter=60)
+        assert r.converged
+        iters.append(r.iterations)
+    assert max(iters) <= 15, iters
+    assert iters[-1] <= iters[0] + 3, iters
+
+
+def test_lattice_f32_preconditioner_reaches_f64_floor():
+    """f32 V-cycle inside f64 CG converges to 1e-10 (the bench config)."""
+    s, _ = _problem(64, "triangle")
+    mg = s.lattice_solver(min_n=16, dtype=jnp.float32)
+    r = s.solve_lattice(tol=1e-10, maxiter=60, mg=mg)
+    assert r.converged and r.residual <= 1e-10, (r.iterations, r.residual)
