@@ -131,8 +131,10 @@ def bench_s1_pipeline(n: int) -> dict:
             jax.block_until_ready(b.matrices)
     t_reasm = time.perf_counter() - t0
 
+    # full-box lattice V-cycle + cut-block Schwarz correction: no
+    # per-level re-tagging/re-assembly (mg.LatticeBulkVCycle)
     t0 = time.perf_counter()
-    vc = s.mg_preconditioner(min_n=13, dtype=jnp.float32)
+    vc = s.lattice_preconditioner(min_n=13)
     t_mg_setup = time.perf_counter() - t0
 
     r0 = s.solve(method="bicgstab", tol=tol, maxiter=60, precond=vc)

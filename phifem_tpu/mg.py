@@ -197,10 +197,15 @@ class VCycle:
     # overlapping block inverses (restricted additive Schwarz) beyond
     interface_ids: Optional[Array] = None  # global flat DoF ids
     interface_inv: Optional[Array] = None  # dense inverse on those DoFs
-    schwarz_ids: Optional[Array] = None  # (nb, K) global flat ids, pad -> n
+    schwarz_ids: Optional[Array] = None  # (nb, K) COMPACT band ids, pad -> m
     schwarz_inv: Optional[Array] = None  # (nb, K, K) block inverses
     schwarz_own: Optional[Array] = None  # (nb, K) RAS ownership mask
-    schwarz_sweeps: int = 2
+    schwarz_sweeps: int = 10  # inner Krylov iterations on the band system
+    # the interface block itself, device-resident in ELL form: the inner
+    # solve needs A_II * v, which no full-operator matvec can restrict to
+    band_ids: Optional[Array] = None  # (m,) global flat band DoF ids
+    band_ell_cols: Optional[Array] = None  # (m, nnz) compact cols, pad -> m
+    band_ell_vals: Optional[Array] = None  # (m, nnz)
     _flat_meta: Optional[Tuple] = None  # (names, shapes, sizes) system order
     # mutation counter: compiled-solver caches key on (id(self), _version)
     # so in-place equipping (attach_interface_solve) invalidates them
@@ -251,21 +256,100 @@ class VCycle:
             xf = self._flatten(x).at[self.interface_ids].add(corr)
             x = self._unflatten(xf)
         elif self.schwarz_inv is not None:
-            # scalable variant: overlapping cut-entity block solves
-            # (restricted additive Schwarz), batched on the MXU — O(nb*K^2)
-            # memory where the dense inverse is O(m^2)
+            # scalable variant: multiplicative correction by an INNER
+            # Krylov solve of the interface block A_II e = r_I — BiCGStab
+            # on the device-resident ELL band matrix, preconditioned by
+            # the batched per-cut-entity RAS block inverses.  One-level
+            # RAS sweeps alone stall (smooth error modes ALONG the band,
+            # observed ~0.9x/iter outer at n=200); ~10 preconditioned
+            # inner iterations recover dense-interface-solve quality at
+            # O(m) memory (the dense inverse is O(m^2)).
             lvl = self.levels[0]
-            for _ in range(self.schwarz_sweeps):
-                r = jax.tree.map(lambda bi, ai: bi - ai, b, lvl.matvec(x))
-                rf = self._flatten(r)
-                rpad = jnp.concatenate([rf, jnp.zeros(1, rf.dtype)])
-                rb = rpad[self.schwarz_ids]  # (nb, K)
-                cb = jnp.einsum("bkl,bl->bk", self.schwarz_inv.astype(rf.dtype), rb)
+            m = self.band_ids.shape[0]
+            r = jax.tree.map(lambda bi, ai: bi - ai, b, lvl.matvec(x))
+            rf = self._flatten(r)
+            rb = rf[self.band_ids]
+            dt = rb.dtype
+
+            def band_mv(v):
+                vpad = jnp.concatenate([v, jnp.zeros(1, dt)])
+                return (self.band_ell_vals.astype(dt) * vpad[self.band_ell_cols]).sum(
+                    axis=1
+                )
+
+            def band_ras(v):
+                vpad = jnp.concatenate([v, jnp.zeros(1, dt)])
+                blocks = vpad[self.schwarz_ids]  # (nb, K)
+                cb = jnp.einsum(
+                    "bkl,bl->bk", self.schwarz_inv.astype(dt), blocks
+                )
                 upd = jnp.where(self.schwarz_own, cb, 0.0)
-                xpad = jnp.concatenate([self._flatten(x), jnp.zeros(1, rf.dtype)])
-                xpad = xpad.at[self.schwarz_ids].add(upd)
-                x = self._unflatten(xpad[:-1])
+                out = jnp.zeros(m + 1, dt).at[self.schwarz_ids].add(upd)
+                return out[:m]
+
+            e, _ = jax.scipy.sparse.linalg.bicgstab(
+                band_mv, rb, M=band_ras, tol=1e-8, atol=0.0,
+                maxiter=self.schwarz_sweeps,
+            )
+            xf = self._flatten(x).at[self.band_ids].add(e)
+            x = self._unflatten(xf)
         return x
+
+
+@dataclasses.dataclass
+class LatticeBulkVCycle(VCycle):
+    """Full-box 2D lattice V-cycle as the bulk smoother of a phi-FEM
+    preconditioner (see :mod:`phifem_tpu.ops.lattice`).
+
+    Each scalar-P1 field with a uniform stencil batch is cycled on the
+    FULL background box (its aggregated vertex stencil, no tagging, no
+    per-level assembly); the active mask projects the input/output onto
+    Omega_h DoFs.  Everything pointwise smoothing cannot contract — the
+    h^-3 penalty/ghost couplings on cut cells, and any auxiliary fields
+    (which phi-FEM schemes only carry on cut cells) — is handled by the
+    multiplicative interface correction (:func:`attach_interface_solve`),
+    exactly as in the flat V-cycle.  Replaces the re-discretized
+    hierarchy whose per-level re-tagging dominated preconditioner setup
+    (262 s cold at n=200 through a remote compiler; this builder compiles
+    nothing per level).  Non-bulk rows fall back to damped Jacobi.
+    """
+
+    mgs: Optional[Dict[str, "object"]] = None  # field -> ops.lattice.LatticeMG
+    lattice_shapes: Optional[Dict[str, Tuple[int, int]]] = None
+    # bulk projection: active AND not interface — the lattice cycle uses
+    # pure-Laplacian weights, but cut-cell DoF rows carry h^-3 penalty
+    # couplings, so a Laplacian-sized correction there DIVERGES on fine
+    # grids (observed at n=200); those DoFs belong to the interface solve
+    bulk_masks: Optional[Dict[str, Array]] = None
+
+    def _cycle(self, k: int, b):
+        lvl = self.levels[0]
+        out = {}
+        for f, v in b.items():
+            mg2 = self.mgs.get(f) if self.mgs else None
+            a = lvl.active[f]
+            if mg2 is None:
+                out[f] = jnp.where(
+                    a, self.omega * v * lvl.inv_diag[f], jnp.zeros_like(v)
+                )
+                continue
+            bulk = (
+                self.bulk_masks[f]
+                if self.bulk_masks is not None and f in self.bulk_masks
+                else a
+            )
+            R, C = self.lattice_shapes[f]
+            r2 = jnp.where(bulk, v, jnp.zeros_like(v)).reshape(R, C)
+            rp = jnp.zeros((R + 2, C + 2), v.dtype).at[1 : 1 + R, 1 : 1 + C].set(r2)
+            zp = mg2(rp)
+            z = zp[1 : 1 + R, 1 : 1 + C].reshape(-1)
+            # interface DoFs get damped Jacobi (assembled diag, penalty-
+            # aware); the multiplicative block solve then refines them
+            jac = self.omega * v * lvl.inv_diag[f]
+            out[f] = jnp.where(
+                bulk, z, jnp.where(a, jac, jnp.zeros_like(z))
+            )
+        return out
 
 
 def _cast_batch(b, dtype):
@@ -337,12 +421,31 @@ def _coarse_pinv(op, active) -> Array:
     return jnp.asarray(np.linalg.pinv(A, rcond=1e-12))
 
 
+def data_dependent_selection(op, active) -> Dict[str, np.ndarray]:
+    """Boolean masks (per field, dof_shape) of active DoFs touched by any
+    data-dependent (rebuildable) batch — the cut-cell/ghost/boundary block
+    that carries the h^-3 penalty couplings."""
+    sel = {n: np.zeros(s.dof_shape, bool) for n, s in op.system.fields.items()}
+    for b in op.batches:
+        if getattr(b, "rebuild", None) is None:
+            continue
+        for name, dofs, vs in b.segments:
+            m = sel[name]
+            m_flat = m.reshape(m.shape[0], -1)
+            m_flat[np.asarray(dofs).reshape(-1)] = True
+    for n in sel:
+        sel[n] &= np.broadcast_to(
+            np.asarray(active[n]), op.system.fields[n].dof_shape
+        )
+    return sel
+
+
 def attach_interface_solve(
     vc: VCycle,
     op,
     active,
-    dense_max: int = 3000,
-    sweeps: int = 2,
+    dense_max: int = 4000,
+    sweeps: Optional[int] = None,
     kind: str = "auto",
 ) -> VCycle:
     """Equip a V-cycle with a solve on the data-dependent DoF block (all
@@ -359,23 +462,7 @@ def attach_interface_solve(
       sparse interface submatrix and applied as one batched matmul.  O(m)
       memory and setup; scales to arbitrarily fine grids.
     """
-    sel = {n: np.zeros(s.dof_shape, bool) for n, s in op.system.fields.items()}
-    found = False
-    for b in op.batches:
-        if getattr(b, "rebuild", None) is None:
-            continue
-        found = True
-        for name, dofs, vs in b.segments:
-            m = sel[name]
-            m_flat = m.reshape(m.shape[0], -1)
-            m_flat[np.asarray(dofs).reshape(-1)] = True
-    if not found:
-        return vc
-    # restrict to active DoFs
-    for n in sel:
-        sel[n] &= np.broadcast_to(
-            np.asarray(active[n]), op.system.fields[n].dof_shape
-        )
+    sel = data_dependent_selection(op, active)
     total = sum(int(m.sum()) for m in sel.values())
     if total == 0:
         return vc
@@ -439,12 +526,32 @@ def attach_interface_solve(
         Ab[dz, dz] = 1.0
         mats[i, : bl.size, : bl.size] = Ab
     inv = np.linalg.inv(mats)
-    # map compact block ids back to global flat DoF ids (pad -> n_flat)
-    ids_pad = np.concatenate([ids, [n_flat]])
-    vc.schwarz_ids = jnp.asarray(ids_pad[bids])
+    # blocks/ownership stay in COMPACT band index space (pad slot = total)
+    vc.schwarz_ids = jnp.asarray(bids)
     vc.schwarz_inv = jnp.asarray(inv)
     vc.schwarz_own = jnp.asarray(own)
-    vc.schwarz_sweeps = sweeps
+    # inner-iteration demand grows slowly with band size (measured: 10 at
+    # m~3k, 20 at m~12k) — scale ~sqrt(m) unless the caller pins it
+    vc.schwarz_sweeps = (
+        sweeps if sweeps is not None else max(10, int(0.2 * total**0.5))
+    )
+    # the band matrix itself in ELL layout for the inner device solve
+    A = A_csr.tocsr()
+    nnz_row = np.diff(A.indptr)
+    nnzmax = max(1, int(nnz_row.max()))
+    cols = np.full((total, nnzmax), total, np.int64)
+    vals = np.zeros((total, nnzmax))
+    for i in range(total):
+        s, e = A.indptr[i], A.indptr[i + 1]
+        cols[i, : e - s] = A.indices[s:e]
+        vals[i, : e - s] = A.data[s:e]
+    # identity rows for any fully-zero band row (keeps A_II invertible)
+    zr = nnz_row == 0
+    cols[zr, 0] = np.where(zr)[0]
+    vals[zr, 0] = 1.0
+    vc.band_ids = jnp.asarray(ids)
+    vc.band_ell_cols = jnp.asarray(cols, jnp.int32)
+    vc.band_ell_vals = jnp.asarray(vals)
     vc._version += 1
     return vc
 

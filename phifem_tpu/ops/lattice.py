@@ -147,8 +147,12 @@ def _restrict(r_int: Array, Rc: int, Cc: int) -> Array:
     return _embed(out.astype(r_int.dtype), Rc, Cc)
 
 
-def _dense_coarse_inv(terms, R: int, C: int) -> np.ndarray:
-    """Exact inverse of the reduced operator on the coarsest interior."""
+def _dense_coarse_inv(
+    terms, R: int, C: int, mask: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Exact inverse of the reduced operator on the coarsest interior.
+    ``mask``: optional (R, C) bool of active logical nodes — inactive
+    rows/cols become identity (they carry zero residual)."""
     ni, nj = R - 2, C - 2
     n = ni * nj
     A = np.zeros((n, n))
@@ -162,7 +166,27 @@ def _dense_coarse_inv(terms, R: int, C: int) -> np.ndarray:
                 j2 = j + dx
                 if 0 <= j2 < nj:
                     A[i * nj + j, i2 * nj + j2] += wt
+    if mask is not None:
+        act = np.asarray(mask[1 : R - 1, 1 : C - 1], bool).reshape(-1)
+        A[~act, :] = 0.0
+        A[:, ~act] = 0.0
+        A[np.diag_indices(n)[0][~act], np.diag_indices(n)[1][~act]] = 1.0
     return np.linalg.inv(A)
+
+
+def _coarsen_mask(m: np.ndarray) -> np.ndarray:
+    """Coarse-level active mask: coarse vertex (i, j) is active when any
+    fine vertex in the 3x3 bilinear support of (2i, 2j) is active (the
+    correction from an inactive-by-this-rule coarse DoF could not help
+    any active fine DoF)."""
+    R, C = m.shape
+    p = np.zeros((R + 2, C + 2), bool)
+    p[1 : 1 + R, 1 : 1 + C] = m
+    pool = np.zeros_like(m)
+    for s in (0, 1, 2):
+        for t in (0, 1, 2):
+            pool |= p[s : s + R, t : t + C]
+    return pool[::2, ::2].copy()
 
 
 @dataclasses.dataclass
@@ -181,17 +205,29 @@ class LatticeMG:
     omega: float = 0.8
     pre_smooth: int = 2
     post_smooth: int = 2
+    # optional per-level active masks, logical (R, C) in compute dtype
+    # (1 = active): a domain-restricted problem (phi-FEM bulk on Omega_h)
+    # smooths/corrects only on active nodes; levels coarsened from the
+    # fine mask by 3x3-support pooling (_coarsen_mask) — NO re-tagging
+    masks: Optional[List[Array]] = None
 
     def __post_init__(self):
         self._dinv = 1.0 / next(wt for a, b, wt in self.terms if a == 1 and b == 1)
 
+    def _mask_int(self, k: int, R: int, C: int):
+        if self.masks is None:
+            return None
+        return self.masks[k][1 : R - 1, 1 : C - 1]
+
     # -- fused Jacobi sweep: x += omega * dinv * (b - A x) on the interior
-    def _smooth(self, xp, bp, lvl: _Level, sweeps: int):
+    def _smooth(self, xp, bp, lvl: _Level, k: int, sweeps: int):
         R, C = lvl.R, lvl.C
         od = jnp.asarray(self.omega * self._dinv, xp.dtype)
+        m = self._mask_int(k, R, C)
         for _ in range(sweeps):
             r = bp[2:R, 2:C] - _conv_interior(xp, self.terms, R, C)
-            xp = xp.at[2:R, 2:C].add(od * r)
+            upd = od * r if m is None else od * r * m
+            xp = xp.at[2:R, 2:C].add(upd)
         return xp
 
     def _cycle(self, k: int, bp):
@@ -200,14 +236,23 @@ class LatticeMG:
         if k == len(self.levels) - 1:
             v = self.coarse_inv.astype(bp.dtype) @ bp[2:R, 2:C].reshape(-1)
             return _embed(v.reshape(R - 2, C - 2), R, C)
-        xp = self._smooth(jnp.zeros_like(bp), bp, lvl, self.pre_smooth)
+        xp = self._smooth(jnp.zeros_like(bp), bp, lvl, k, self.pre_smooth)
         r_int = bp[2:R, 2:C] - _conv_interior(xp, self.terms, R, C)
+        m = self._mask_int(k, R, C)
+        if m is not None:
+            r_int = r_int * m  # inactive-row residuals must not restrict
         nxt = self.levels[k + 1]
         bc = _restrict(r_int, nxt.R, nxt.C)
+        if self.masks is not None:
+            bc = bc * _embed(
+                self.masks[k + 1][1:-1, 1:-1], nxt.R, nxt.C
+            )
         ec = self._cycle(k + 1, bc)
         corr = _prolong(ec, nxt.R, nxt.C)  # fine logical (R, C)
+        if self.masks is not None:
+            corr = corr * self.masks[k]
         xp = xp.at[2:R, 2:C].add(corr[1:-1, 1:-1])
-        return self._smooth(xp, bp, lvl, self.post_smooth)
+        return self._smooth(xp, bp, lvl, k, self.post_smooth)
 
     def __call__(self, bp: Array) -> Array:
         in_dt = bp.dtype
@@ -223,11 +268,15 @@ def build_lattice_mg(
     w: np.ndarray,
     min_n: int = 16,
     dtype=jnp.float32,
+    mask: Optional[np.ndarray] = None,
     **kw,
 ) -> LatticeMG:
     """Build the V-cycle for an ``nx x ny``-block lattice with vertex
     stencil ``w``.  The 2D P1 stiffness stencil is refinement-invariant,
     so every level shares ``w`` — no per-level assembly at all.
+
+    ``mask``: optional (ny+1, nx+1) bool of active logical vertices
+    (phi-FEM Omega_h bulk); coarser levels pool it (``_coarsen_mask``).
     """
     levels = [_Level(ny + 1, nx + 1)]
     while (
@@ -237,8 +286,20 @@ def build_lattice_mg(
         ny //= 2
         levels.append(_Level(ny + 1, nx + 1))
     terms = _terms(np.asarray(w))
-    inv = _dense_coarse_inv(terms, levels[-1].R, levels[-1].C)
-    return LatticeMG(levels, terms, jnp.asarray(inv, dtype), dtype=dtype, **kw)
+    lvl_masks = None
+    coarse_mask = None
+    if mask is not None:
+        m = np.asarray(mask, bool)
+        masks_np = [m]
+        for _ in levels[1:]:
+            m = _coarsen_mask(m)
+            masks_np.append(m)
+        coarse_mask = masks_np[-1]
+        lvl_masks = [jnp.asarray(mm, dtype) for mm in masks_np]
+    inv = _dense_coarse_inv(terms, levels[-1].R, levels[-1].C, coarse_mask)
+    return LatticeMG(
+        levels, terms, jnp.asarray(inv, dtype), dtype=dtype, masks=lvl_masks, **kw
+    )
 
 
 def lattice_cg(

@@ -119,3 +119,44 @@ def test_lattice_f32_preconditioner_reaches_f64_floor():
     mg = s.lattice_solver(min_n=16, dtype=jnp.float32)
     r = s.solve_lattice(tol=1e-10, maxiter=60, mg=mg)
     assert r.converged and r.residual <= 1e-10, (r.iterations, r.residual)
+
+
+def test_scheme_lattice_preconditioner_s1():
+    """Full-box lattice V-cycle + cut-block correction preconditions the
+    S1 weak-Dirichlet operator: same solution as the re-discretized
+    hierarchy, no per-level tagging (models/base.lattice_preconditioner)."""
+    from phifem_tpu.models import WeakDirichletPoisson
+
+    n = 48
+    grid = pf.Grid(n, n, ((-1.5, -1.5), (1.5, 1.5)), pf.CellType.triangle)
+    phi = lambda x: x[..., 0] ** 2 + x[..., 1] ** 2 - 1.0
+    f = lambda x: jnp.ones(x.shape[:-1])
+    s = WeakDirichletPoisson(grid, mode="bg")
+    s.setup(phi, f)
+    s.assemble()
+    vc = s.lattice_preconditioner(min_n=12)
+    r1 = s.solve(method="bicgstab", tol=1e-9, maxiter=80, precond=vc)
+    assert r1.converged, r1.residual
+    r2 = s.solve(method="bicgstab", tol=1e-9, maxiter=400)
+    du = np.abs(np.asarray(r1.x["u"] - r2.x["u"])).max()
+    scale = np.abs(np.asarray(r2.x["u"])).max()
+    assert du / scale < 1e-5, du / scale
+
+
+def test_scheme_lattice_preconditioner_schwarz_band():
+    """The scalable interface path (inner BiCGStab on the ELL band matrix
+    with RAS block preconditioning) must converge where one-level RAS
+    sweeps stalled; dense_max=1 forces it even for small bands."""
+    from phifem_tpu.models import WeakDirichletPoisson
+
+    n = 128
+    grid = pf.Grid(n, n, ((-1.5, -1.5), (1.5, 1.5)), pf.CellType.triangle)
+    phi = lambda x: x[..., 0] ** 2 + x[..., 1] ** 2 - 1.0
+    f = lambda x: jnp.ones(x.shape[:-1])
+    s = WeakDirichletPoisson(grid, mode="bg")
+    s.setup(phi, f)
+    s.assemble()
+    vc = s.lattice_preconditioner(min_n=12, dense_max=1)
+    assert vc.band_ell_vals is not None  # Schwarz path chosen
+    r = s.solve(method="bicgstab", tol=1e-8, maxiter=60, precond=vc)
+    assert r.converged, r.residual
