@@ -10,6 +10,7 @@ the gathers) over ICI/DCN.
 """
 
 from .halo import HaloOperator, UnsupportedFieldError, halo_solve
+from .lattice import ShardedLatticeMG, build_sharded_lattice_mg, sharded_lattice_solve
 from .sharding import (
     make_mesh,
     shard_vector,
@@ -19,6 +20,9 @@ from .sharding import (
 
 __all__ = [
     "HaloOperator",
+    "ShardedLatticeMG",
+    "build_sharded_lattice_mg",
+    "sharded_lattice_solve",
     "UnsupportedFieldError",
     "halo_solve",
     "make_mesh",

@@ -102,3 +102,37 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(len(jax.devices()))
+
+
+@multidevice
+def test_sharded_lattice_mg_matches_single_device():
+    """Distributed lattice MG-CG (shard_map row slabs, ppermute halos,
+    psum dots) must reproduce the single-device ops.lattice solve on the
+    north-star Poisson problem — including a replicated coarse tail and a
+    row count (n+1 = 49) NOT divisible by the 8-device mesh."""
+    from phifem_tpu.models import BoxPoisson
+    from phifem_tpu.parallel import build_sharded_lattice_mg, sharded_lattice_solve
+    from phifem_tpu.parallel.sharding import make_mesh
+
+    n = 48
+    g = pf.Grid(n, n, ((0.0, 0.0), (1.0, 1.0)), "triangle")
+    uex = lambda x: jnp.sin(jnp.pi * x[..., 0]) * jnp.sin(jnp.pi * x[..., 1])
+    f = lambda x: 2.0 * jnp.pi**2 * uex(x)
+    s = BoxPoisson(g).setup(f)
+    s.assemble()
+    r_ref = s.solve_lattice(tol=1e-11, maxiter=60)
+
+    from phifem_tpu.ops.lattice import vertex_stencil_weights
+    from phifem_tpu.ops.stencil import _TRI_OFFS
+
+    batch = s.op.batches[0]
+    w = vertex_stencil_weights(np.asarray(batch.matrices), _TRI_OFFS)
+    mesh = make_mesh(8)
+    mg = build_sharded_lattice_mg(n, n, w, mesh, min_n=12, replicate_rows=4)
+    assert len(mg.levels) >= 2, "expected at least one distributed coarse level"
+    b2d = s.b["u"].reshape(n + 1, n + 1)
+    u2d, rel, it = sharded_lattice_solve(mg, mesh, b2d, tol=1e-11, maxiter=60)
+    assert rel < 1e-10, rel
+    du = np.abs(np.asarray(u2d.reshape(-1)) - np.asarray(r_ref.x["u"])).max()
+    scale = np.abs(np.asarray(r_ref.x["u"])).max()
+    assert du < 1e-8 * max(scale, 1.0), du
