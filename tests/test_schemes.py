@@ -213,3 +213,33 @@ def test_interface_elasticity_convergence():
     slope_l2 = (np.log(e2["l2"]) - np.log(e1["l2"])) / (np.log(d2) - np.log(d1))
     assert e2["l2"] < e1["l2"], (e1, e2)
     assert slope_l2 < -0.5, (e1, e2, slope_l2)
+
+
+def test_weak_dirichlet_p2_convergence():
+    """P2 end-to-end: S1 with primal_degree=2 (+ P2 level set) converges
+    at O(h^3) in L2 — the degree machinery (quadratures, ghost npts,
+    penalty phi-weights) is exercised beyond the reference's P1 demos."""
+    import jax
+
+    phi = lambda x: x[..., 0] ** 2 + x[..., 1] ** 2 - 1.0
+    uex = lambda x: jnp.cos(x[..., 0]) * jnp.exp(x[..., 1] / 2.0)
+
+    def f(x):
+        u = lambda p: jnp.cos(p[0]) * jnp.exp(p[1] / 2.0)
+        H = jax.vmap(jax.hessian(u))(x)
+        return -jnp.trace(H, axis1=-2, axis2=-1)
+
+    errs = []
+    for n in (24, 48):
+        g = pf.Grid(n, n, ((-1.5, -1.5), (1.5, 1.5)), "triangle")
+        s = WeakDirichletPoisson(g, mode="bg", primal_degree=2, levelset_degree=2)
+        s.setup(phi, f, u_D=uex)
+        s.assemble()
+        r = s.solve(method="bicgstab", tol=1e-12, maxiter=5000)
+        assert r.converged, r.residual
+        e = s.l2_h1_errors(s.u_h, uex, region=(1, 2))
+        errs.append(e["l2"])
+    # measured 8.8x per halving (O(h^3) = 8x); require well above the
+    # P1 rate (4x) to catch degree regressions
+    assert errs[0] / errs[1] > 6.0, errs
+    assert errs[1] < 2e-4, errs
