@@ -147,7 +147,11 @@ def stencil_matvec_pallas(
     # (~ TY * (4 + 4*no) rows of width CP); keep under ~10 MB of 16 MB
     CPq = -(-(C0 + 2) // 128) * 128
     row_bytes = CPq * jnp.dtype(dt).itemsize
-    budget = 10 * 2**20
+    # VMEM budget: Mosaic double-buffers every pipelined operand AND the
+    # output slab, so a TY-row program holds ~2*(TY+2) x-rows + 2*TY
+    # y-rows (+ mask slabs); 16 MB VMEM with headroom -> 3.5 MB of x-rows
+    # (measured: the old 10 MB budget OOMed scoped vmem at 3200^2)
+    budget = int(3.5 * 2**20)
     mask_rows = 0 if masks is None else 4 * no
     ty_cap = max(8, int(budget / (row_bytes * (4 + mask_rows))))
     TY = min(TY, ty_cap, R)

@@ -83,7 +83,12 @@ class StencilCellBatch:
 
         import jax
 
-        if os.environ.get("PHIFEM_PALLAS", "1") != "1":
+        # OPT-IN only: fetch-synced measurement on v5e shows the XLA
+        # shifted-slice lowering reaches ~87 GDoF/s at 10M DoF (~710 GB/s,
+        # the bandwidth roofline) while the Pallas slab kernel manages
+        # 19 GDoF/s at 1M and 6.5 at 10M (pre-gather materialization +
+        # small-TY DMA pipelining) — XLA's fusion wins this workload
+        if os.environ.get("PHIFEM_PALLAS", "0") != "1":
             return False
         # the fused Mosaic kernel needs a real TPU backend and a VPU dtype
         return jax.default_backend() not in ("cpu",) and dtype in (
