@@ -324,20 +324,19 @@ def lattice_cg(
     def matvec(xp):
         return _embed(_conv_interior(xp, terms, R, C), R, C)
 
-    def dot64(a, b):
-        return jnp.vdot(a, b)
-
-    # CG coefficient dots run in float32: on v5e float64 is emulated and
-    # its REDUCTIONS are pathologically slow (measured 4.3 ms vs 0.13 ms
-    # f32 at 1M entries — 3 dots/iter would dominate the whole solve).
-    # alpha/beta only need ~1e-6 relative accuracy (inexact-coefficient
-    # PCG behaves like flexible CG; the f64 recurrence keeps the residual
-    # itself accurate).  The system is normalized by ||b|| so the f32
-    # squares stay in normal range down to relres 1e-12.
+    # ALL dots run with float32 products/reduction: on v5e float64 is
+    # emulated and its REDUCTIONS are pathologically slow (measured
+    # 4.3 ms vs 0.13 ms at 1M entries, ~45 ms at 10M — two f64 norms
+    # alone cost ~90 ms of a 0.29 s solve).  alpha/beta only need ~1e-6
+    # relative accuracy (inexact-coefficient PCG behaves like flexible
+    # CG; the f64 recurrence keeps the residual itself accurate), and
+    # norms (scaling + reported relres) need even less.  The system is
+    # normalized by ||b|| so the f32 squares stay in normal range down
+    # to relres 1e-12.
     def dot32(a, b):
         return jnp.vdot(a.astype(jnp.float32), b.astype(jnp.float32)).astype(dt)
 
-    bnorm = jnp.sqrt(dot64(bp, bp))
+    bnorm = jnp.sqrt(dot32(bp, bp))
     bscale = jnp.maximum(bnorm, jnp.finfo(dt).tiny)
     bn = bp / bscale
 
@@ -363,5 +362,5 @@ def lattice_cg(
     z0 = mg(r)
     state = (x, r, z0, z0, dot32(r, z0), jnp.asarray(0, jnp.int32))
     x, r, p, z, rz, it = jax.lax.while_loop(cond, body, state)
-    relres = jnp.sqrt(dot64(r, r))  # one exact f64 residual norm at the end
+    relres = jnp.sqrt(dot32(r, r))
     return x * bscale, relres, it

@@ -173,9 +173,6 @@ class ShardedLatticeMG:
         d = lax.axis_index(AXIS)
         dt = bb.dtype
 
-        def pdot64(a, b):
-            return lax.psum(jnp.vdot(a, b), AXIS)
-
         def pdot32(a, b):
             return lax.psum(
                 jnp.vdot(a.astype(jnp.float32), b.astype(jnp.float32)), AXIS
@@ -188,7 +185,7 @@ class ShardedLatticeMG:
             z = self._cycle(0, r.astype(self.dtype), d)
             return z.astype(dt)
 
-        bnorm = jnp.sqrt(pdot64(bb, bb))
+        bnorm = jnp.sqrt(pdot32(bb, bb))
         bscale = jnp.maximum(bnorm, jnp.finfo(dt).tiny)
         bn = bb / bscale
         tol2 = jnp.asarray(tol, dt) ** 2
@@ -212,7 +209,7 @@ class ShardedLatticeMG:
         z0 = precond(bn)
         state = (x, bn, z0, z0, pdot32(bn, z0), jnp.asarray(0, jnp.int32))
         x, r, p, z, rz, it = lax.while_loop(cond, body, state)
-        relres = jnp.sqrt(pdot64(r, r))
+        relres = jnp.sqrt(pdot32(r, r))
         return x * bscale, relres, it
 
 
