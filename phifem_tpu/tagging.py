@@ -97,14 +97,46 @@ def tag_cells(
     tags = lsmod.classify(has_pos, has_neg)
 
     if single_layer_cut:
-        interior = tags == 1
-        # scatter-max interior onto vertices, gather-max back onto cells
-        cv = grid.cell_vertices  # (nc, nvpc)
-        vflag = jnp.zeros(grid.num_vertices, jnp.int8)
-        vflag = vflag.at[cv.reshape(-1)].max(
-            jnp.broadcast_to(interior[:, None], cv.shape).astype(jnp.int8).reshape(-1)
-        )
-        connected = jnp.max(vflag[cv], axis=1) > 0
+        # vertex max-pool in LATTICE form (shifted pads/maxima — no
+        # scatter/gather: TPU scatters measured ~0.1 s at 1.3M cells):
+        # a cut cell stays cut only if it shares a vertex with an
+        # interior cell
+        ny, nx = grid.ny, grid.nx
+        interior = (tags == 1).astype(jnp.int8)
+
+        def padm(a, dy, dx):
+            return jnp.pad(a, ((dy, 1 - dy), (dx, 1 - dx)))
+
+        if grid.is_simplex:
+            I2 = interior.reshape(ny, nx, 2)
+            Lf, Uf = I2[:, :, 0], I2[:, :, 1]
+            A = jnp.maximum(Lf, Uf)
+            # lower (ix,iy) touches vertices (iy,ix),(iy,ix+1),(iy+1,ix+1);
+            # upper touches (iy,ix),(iy+1,ix+1),(iy+1,ix)
+            V = jnp.maximum(
+                jnp.maximum(padm(A, 0, 0), padm(Lf, 0, 1)),
+                jnp.maximum(padm(A, 1, 1), padm(Uf, 1, 0)),
+            )  # (ny+1, nx+1) vertex flags
+            conn_l = jnp.maximum(
+                jnp.maximum(V[:ny, :nx], V[:ny, 1:]), V[1:, 1:]
+            )
+            conn_u = jnp.maximum(
+                jnp.maximum(V[:ny, :nx], V[1:, 1:]), V[1:, :nx]
+            )
+            connected = jnp.stack([conn_l, conn_u], axis=-1).reshape(-1) > 0
+        else:
+            I2 = interior.reshape(ny, nx)
+            V = jnp.maximum(
+                jnp.maximum(padm(I2, 0, 0), padm(I2, 0, 1)),
+                jnp.maximum(padm(I2, 1, 1), padm(I2, 1, 0)),
+            )
+            connected = (
+                jnp.maximum(
+                    jnp.maximum(V[:ny, :nx], V[:ny, 1:]),
+                    jnp.maximum(V[1:, :nx], V[1:, 1:]),
+                ).reshape(-1)
+                > 0
+            )
         isolated_cut = jnp.logical_and(tags == 2, jnp.logical_not(connected))
         tags = jnp.where(isolated_cut, jnp.int8(3), tags)
 
@@ -166,43 +198,90 @@ def tag_facets(
     """
     trace_cut = _boundary_trace_cut(grid, levelset, detection_degree)
 
-    f2c = grid.f2c
-    c0, c1 = f2c[:, 0], f2c[:, 1]
-    t0 = jnp.where(c0 >= 0, cell_tags[jnp.maximum(c0, 0)], jnp.int8(0))
-    t1 = jnp.where(c1 >= 0, cell_tags[jnp.maximum(c1, 0)], jnp.int8(0))
-    is_bdry = jnp.logical_or(c0 < 0, c1 < 0)
-    owner = jnp.maximum(c0, c1)
-    a = jnp.where(c0 >= 0, t0, t1)  # owner tag on boundary facets
+    # LATTICE form: per facet family (vertical / horizontal / diagonal)
+    # the two neighbour cell tags are shifted slices of the cell-tag
+    # lattice — no f2c table, no 2.5M-facet gathers (measured ~0.2 s of
+    # the warm tag kernel at n=800)
+    ny, nx = grid.ny, grid.nx
+    has_exterior = jnp.any(cell_tags == 3)
+    trc = trace_cut.astype(jnp.int8)
+    if grid.is_simplex:
+        T2 = cell_tags.reshape(ny, nx, 2)
+        R2 = trc.reshape(ny, nx, 2)
+        L, U = T2[:, :, 0], T2[:, :, 1]  # lower / upper triangle tags
+        Ltr, Utr = R2[:, :, 0], R2[:, :, 1]
+    else:
+        L = U = cell_tags.reshape(ny, nx)
+        Ltr = Utr = trc.reshape(ny, nx)
 
-    lo = jnp.minimum(t0, t1)
-    hi = jnp.maximum(t0, t1)
-    # interior pair table
-    interior_tag = jnp.where(
-        (lo == 1) & (hi == 1),
-        1,
-        jnp.where(
-            (lo == 1) & (hi == 2),
-            3,
+    def pair(lo_, hi_):
+        return jnp.where(
+            (lo_ == 1) & (hi_ == 1),
+            1,
             jnp.where(
-                (lo == 1) & (hi == 3),
-                6,
+                (lo_ == 1) & (hi_ == 2),
+                3,
                 jnp.where(
-                    (lo == 2) & (hi == 2),
-                    2,
-                    jnp.where((lo == 2) & (hi == 3), 4, 5),
+                    (lo_ == 1) & (hi_ == 3),
+                    6,
+                    jnp.where(
+                        (lo_ == 2) & (hi_ == 2),
+                        2,
+                        jnp.where((lo_ == 2) & (hi_ == 3), 4, 5),
+                    ),
                 ),
             ),
-        ),
+        )
+
+    def family(t0, t1, valid0, valid1, t_owner, a_owner):
+        interior_tag = pair(jnp.minimum(t0, t1), jnp.maximum(t0, t1))
+        cut_or_bdry = jnp.where(t_owner > 0, 2, 4)
+        bdry_with_ext = jnp.where(
+            a_owner == 1, 1, jnp.where(a_owner == 2, cut_or_bdry, 5)
+        )
+        bdry_no_ext = jnp.where(a_owner == 1, 4, cut_or_bdry)
+        bdry_tag = jnp.where(has_exterior, bdry_with_ext, bdry_no_ext)
+        is_bdry = jnp.logical_or(~valid0, ~valid1)
+        return jnp.where(is_bdry, bdry_tag, interior_tag).astype(jnp.int8)
+
+    zc = jnp.zeros((ny, 1), cell_tags.dtype)
+    zr = jnp.zeros((1, nx), cell_tags.dtype)
+    zct = jnp.zeros((ny, 1), jnp.int8)
+    zrt = jnp.zeros((1, nx), jnp.int8)
+    col = jnp.arange(nx + 1)[None, :]
+    row = jnp.arange(ny + 1)[:, None]
+
+    # vertical facets (ny, nx+1): left = lower tri of block ix-1 (c0),
+    # right = upper tri of block ix (c1, larger cell id -> owner)
+    tl = jnp.concatenate([zc, L], axis=1)
+    tr = jnp.concatenate([U, zc], axis=1)
+    t_own_v = jnp.where(
+        col < nx,
+        jnp.concatenate([Utr, zct], axis=1),
+        jnp.concatenate([zct, Ltr], axis=1),
     )
+    a_v = jnp.where(col > 0, tl, tr)  # c0 (left) tag if valid else c1
+    fv = family(tl, tr, col > 0, col < nx, t_own_v, a_v)
 
-    t = trace_cut[jnp.maximum(owner, 0)]
-    cut_or_bdry = jnp.where(t, 2, 4)
-    has_exterior = jnp.any(cell_tags == 3)
-    bdry_with_ext = jnp.where(a == 1, 1, jnp.where(a == 2, cut_or_bdry, 5))
-    bdry_no_ext = jnp.where(a == 1, 4, cut_or_bdry)
-    bdry_tag = jnp.where(has_exterior, bdry_with_ext, bdry_no_ext)
+    # horizontal facets (ny+1, nx): below = upper tri of block iy-1 (c0),
+    # above = lower tri of block iy (c1, larger cell id -> owner)
+    tb = jnp.concatenate([zr, U], axis=0)
+    ta = jnp.concatenate([L, zr], axis=0)
+    t_own_h = jnp.where(
+        row < ny,
+        jnp.concatenate([Ltr, zrt], axis=0),
+        jnp.concatenate([zrt, Utr], axis=0),
+    )
+    a_h = jnp.where(row > 0, tb, ta)
+    fh = family(tb, ta, row > 0, row < ny, t_own_h, a_h)
 
-    return jnp.where(is_bdry, bdry_tag, interior_tag).astype(jnp.int8)
+    parts = [fv.reshape(-1), fh.reshape(-1)]
+    if grid.is_simplex:
+        # diagonal facets (ny, nx): lower | upper of the same block,
+        # never on the background boundary
+        fd = pair(jnp.minimum(L, U), jnp.maximum(L, U)).astype(jnp.int8)
+        parts.append(fd.reshape(-1))
+    return jnp.concatenate(parts)
 
 
 # ----------------------------------------------------------------- overwrite
