@@ -180,14 +180,19 @@ class BoxPoisson:
                 bp = _embed(b2[1:-1, 1:-1] - lift, R, C)
                 xp, rel, it = lattice_cg(mg, bp, tol=tol, maxiter=maxiter)
                 u2 = xp[1 : 1 + R, 1 : 1 + C] + xD
-                return u2.reshape(-1), rel, it
+                # pack the scalars: each separate device_get costs a full
+                # ~26 ms round trip on a remote device
+                return u2.reshape(-1), jnp.stack(
+                    [rel, it.astype(b2.dtype)]
+                )
 
             cache[key] = runner
 
-        u, rel, it = runner(self.b["u"], self.u_D.data)
-        rel = float(rel)
+        u, stats = runner(self.b["u"], self.u_D.data)
+        stats = np.asarray(stats)
+        rel, it = float(stats[0]), int(stats[1])
         res = SolveResult(
-            x={"u": u}, residual=rel, iterations=int(it), converged=rel <= tol
+            x={"u": u}, residual=rel, iterations=it, converged=rel <= tol
         )
         self.result = res
         self.u_h = Function(self.V, res.x["u"])
