@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,10 +82,18 @@ def one_sided_facets(
     facet_ids = facet_ids[keep]
     chosen = np.where(in0[keep], f2c[keep, 0], f2c[keep, 1])
     signs = np.where(in0[keep], 1.0, -1.0)
-    cells = jnp.asarray(chosen, jnp.int32)
-    facets = jnp.asarray(facet_ids, jnp.int32)
-    local = grid.local_facet_index(cells, facets)
-    return FacetSideList(grid, facets, cells, local, jnp.asarray(signs))
+    # ONE batched device_put: separate jnp.asarray uploads each cost a
+    # round trip on a remote device (~130 ms for the two S1 measures)
+    local_np = grid.local_facet_index_np(chosen, facet_ids)
+    cells, facets, local, signs_j = jax.device_put(
+        (
+            chosen.astype(np.int32),
+            facet_ids.astype(np.int32),
+            local_np,
+            signs,
+        )
+    )
+    return FacetSideList(grid, facets, cells, local, signs_j)
 
 
 @dataclasses.dataclass(frozen=True)
