@@ -39,6 +39,18 @@ def _t(fn, *args, **kw):
     return out, time.perf_counter() - t0
 
 
+def _fetch(*arrays) -> float:
+    """Synchronize by VALUE FETCH.  jax.block_until_ready does NOT
+    synchronize through the axon tunnel (it returns once the dispatch is
+    queued), so timings synced that way measure dispatch latency only.
+    Reduce each array to one scalar on device and fetch the sum."""
+    s = None
+    for a in arrays:
+        t = jnp.sum(jnp.abs(jnp.asarray(a)).astype(jnp.float32))
+        s = t if s is None else s + t
+    return float(s)
+
+
 def bench_poisson_mg(n: int) -> dict:
     """North-star path: n x n box Poisson, f32 MG-CG + f64 refinement."""
     import phifem_tpu as pf
@@ -52,7 +64,7 @@ def bench_poisson_mg(n: int) -> dict:
     t0 = time.perf_counter()
     s.setup(f)
     s.assemble()
-    jax.block_until_ready(s.b["u"])
+    _fetch(s.b["u"])
     t_setup = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -103,32 +115,32 @@ def bench_s1_pipeline(n: int) -> dict:
 
     t0 = time.perf_counter()
     s.setup(levelset, source_term, detection_levelset=detection_levelset)
-    jax.block_until_ready(s.cell_tags)
+    _fetch(s.cell_tags)
     t_cold_tag = time.perf_counter() - t0
     t0 = time.perf_counter()
     s.assemble()
-    jax.block_until_ready(s.b["u"])
+    _fetch(s.b["u"])
     t_cold_asm = time.perf_counter() - t0
 
     # compile the reassembly cores once before timing
     s.op.reassemble()
-    for b in s.op.batches:
-        if getattr(b, "rebuild", None) is not None:
-            jax.block_until_ready(b.matrices)
+    _fetch(
+        *(b.matrices for b in s.op.batches if getattr(b, "rebuild", None) is not None)
+    )
 
     # warm pipeline: re-tag (jitted kernels) + rebuild data-dependent mats
     t0 = time.perf_counter()
     res_tags = pf.compute_tags_measures(
         grid, detection_levelset, 1, box_mode=True, single_layer_cut=True
     )
-    jax.block_until_ready(res_tags.cells_tags.values)
+    _fetch(res_tags.cells_tags.values)
     t_tag = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     s.op.reassemble()
-    for b in s.op.batches:
-        if getattr(b, "rebuild", None) is not None:
-            jax.block_until_ready(b.matrices)
+    _fetch(
+        *(b.matrices for b in s.op.batches if getattr(b, "rebuild", None) is not None)
+    )
     t_reasm = time.perf_counter() - t0
 
     # full-box lattice V-cycle + cut-block Schwarz correction: no
@@ -142,15 +154,28 @@ def bench_s1_pipeline(n: int) -> dict:
     r = s.solve(method="bicgstab", tol=tol, maxiter=60, precond=vc)
     t_solve = time.perf_counter() - t0
 
+    # matvec throughput: lax.fori_loop repetition inside ONE jit + a value
+    # fetch, so the ~26 ms dispatch+fetch round trip amortizes over all
+    # applications instead of polluting each
     matvec, diag, active = masked_operator(s.op)
-    mv = jax.jit(matvec)
-    x = jax.tree.map(jnp.ones_like, s.b)
-    jax.block_until_ready(mv(x))
     iters = 100
+
+    @jax.jit
+    def _mv_loop(x):
+        x = jax.lax.fori_loop(
+            0,
+            iters,
+            lambda i, v: jax.tree.map(
+                lambda a, d: a / jnp.maximum(d, 1e-30), matvec(v), diag
+            ),
+            x,
+        )
+        return sum(jnp.sum(jnp.abs(v)) for v in x.values())
+
+    x = jax.tree.map(jnp.ones_like, s.b)
+    float(_mv_loop(x))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        x = mv(x)
-    jax.block_until_ready(x)
+    float(_mv_loop(x))
     t_mv = (time.perf_counter() - t0) / iters
 
     ndofs = s.system.num_dofs

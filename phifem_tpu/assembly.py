@@ -579,6 +579,19 @@ class Operator:
             d = b.diagonal_into(d)
         return d
 
+    @property
+    def data_version(self) -> int:
+        """Monotone counter bumped by every :meth:`reassemble` — cache keys
+        that bake in element-matrix values (preconditioners, compiled
+        solver runners) must include it to avoid serving stale data."""
+        return getattr(self, "_data_version", 0)
+
+    def _bump_version(self) -> None:
+        self._data_version = self.data_version + 1
+        # compiled solver runners captured the old matrices at trace time
+        if hasattr(self, "_solve_cache"):
+            self._solve_cache.clear()
+
     def reassemble(self) -> None:
         """Recompute data-dependent element matrices in place (jit cache
         hits -> device execution only).  Geometry-uniform batches are
@@ -603,8 +616,7 @@ class Operator:
             if any(c is None for c in cores):
                 for _, b in entries:  # legacy closure path
                     b.matrices = b.rebuild()
-                if hasattr(self, "_solve_cache"):
-                    self._solve_cache.clear()
+                self._bump_version()
                 return
 
             @jax.jit
@@ -619,9 +631,7 @@ class Operator:
         mats = _run(datas)
         for i, m in zip(idxs, mats):
             self.batches[i].matrices = m
-        # compiled solver runners captured the old matrices at trace time
-        if hasattr(self, "_solve_cache"):
-            self._solve_cache.clear()
+        self._bump_version()
 
     def restricted_dense(self, sel: Dict[str, np.ndarray]):
         """Dense submatrix of the operator over selected DoFs (boolean

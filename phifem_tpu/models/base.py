@@ -81,7 +81,7 @@ class SchemeBase:
         from ..mg import attach_interface_solve, build_hierarchy
         from ..solvers import masked_operator
 
-        key = (min_n, repr(sorted(vcycle_kw.items())))
+        key = (min_n, repr(sorted(vcycle_kw.items())), self.op.data_version)
         cache = getattr(self, "_mg_cache", None)
         if cache is None:
             cache = self._mg_cache = {}
@@ -136,7 +136,17 @@ class SchemeBase:
         from ..ops.stencil import _QUAD_OFFS, _TRI_OFFS, StencilCellBatch
         from ..solvers import masked_operator
 
-        key = ("lattice", min_n, str(dtype), interface, repr(sorted(interface_kw.items())))
+        # op.data_version ties the cache to the operator's element-matrix
+        # data: after op.reassemble() (new level-set/coefficients) a stale
+        # V-cycle would keep interface/band inverses of the old matrices
+        key = (
+            "lattice",
+            min_n,
+            str(dtype),
+            interface,
+            repr(sorted(interface_kw.items())),
+            self.op.data_version,
+        )
         cache = getattr(self, "_mg_cache", None)
         if cache is None:
             cache = self._mg_cache = {}

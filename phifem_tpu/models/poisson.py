@@ -71,6 +71,27 @@ class BoxPoisson:
 
         f_h = self.f if isinstance(self.f, Function) else interpolate(self.f, self.V)
 
+        if self.primal_degree != 1:
+            # the vertex-stencil load shortcut below is P1-only (the
+            # aggregated stencil covers vertex DoFs exclusively)
+            from ..assembly import assemble_vector
+
+            self.b = assemble_vector(
+                self.system,
+                g,
+                cell_terms=[
+                    (
+                        CellTerm(
+                            lambda v, d, x, ctx: d["f"].val * v["u"].val,
+                            None,
+                            degree=2 * self.primal_degree,
+                        ),
+                        {"f": f_h},
+                    )
+                ],
+            )
+            return self
+
         # load vector b = M f_h as a 9-point vertex-stencil convolution
         # (ops.lattice): interior mass rows are uniform (every interior
         # vertex has a full cell ring), and boundary rows are don't-care —

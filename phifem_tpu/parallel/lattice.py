@@ -286,6 +286,11 @@ def sharded_lattice_solve(
     lvl = mg.levels[0]
     R, C = lvl.R, lvl.C
     total = mg.nP * lvl.m
+    # the reduced system carries identity rows on the logical border; a
+    # nonzero border RHS entry would leave an irreducible residual (CG
+    # would silently never converge), so zero it defensively here
+    b2d = b2d.at[0, :].set(0.0).at[-1, :].set(0.0)
+    b2d = b2d.at[:, 0].set(0.0).at[:, -1].set(0.0)
     bp = jnp.zeros((total, C + 2), b2d.dtype)
     bp = bp.at[:R, 1 : 1 + C].set(b2d)
     bp = jax.device_put(bp, NamedSharding(mesh, P(AXIS, None)))
