@@ -579,6 +579,31 @@ class Operator:
             d = b.diagonal_into(d)
         return d
 
+    def lattice_form(self):
+        """Tap-form lattice representation (:mod:`phifem_tpu.ops.taps`) of
+        this operator, or None when unsupported (degree >= 2 fields) or
+        pointless (pure uniform-stencil operators).  Built once (structure
+        is data-independent) and value-refreshed after :meth:`reassemble`.
+        Disable with ``PHIFEM_TAPS=0``."""
+        import os
+
+        if os.environ.get("PHIFEM_TAPS", "1") != "1":
+            return None
+        top = getattr(self, "_tap_form", None)
+        if top is None:
+            if getattr(self, "_tap_unsupported", False):
+                return None
+            from .ops.taps import build_tap_operator
+
+            top = build_tap_operator(self)
+            if top is None:
+                self._tap_unsupported = True
+                return None
+            self._tap_form = top
+        if top.data_version != self.data_version:
+            top.refresh(self)
+        return top
+
     @property
     def data_version(self) -> int:
         """Monotone counter bumped by every :meth:`reassemble` — cache keys

@@ -375,13 +375,17 @@ def _masked_matvec(op, bcs, dtype):
     inv_diag = jax.tree.map(lambda d: 1.0 / d, diag)
     if dtype is None:
         return matvec, inv_diag, active
-    batches = [_cast_batch(b, dtype) for b in op.batches]
+    lat = op.lattice_form()
+    if lat is not None:
+        raw = lat.make_matvec(op, dtype)
+    else:
+        batches = [_cast_batch(b, dtype) for b in op.batches]
 
-    def raw(x):
-        y = {k: jnp.zeros_like(v) for k, v in x.items()}
-        for b in batches:
-            y = b.matvec_into(x, y)
-        return y
+        def raw(x):
+            y = {k: jnp.zeros_like(v) for k, v in x.items()}
+            for b in batches:
+                y = b.matvec_into(x, y)
+            return y
 
     def mv(x):
         xa = jax.tree.map(

@@ -86,9 +86,14 @@ def masked_operator(
             active[bc.field], jnp.logical_not(bc.mask)
         )
 
+    # tap-form fast path (ops.taps): shifted-slice lattice arithmetic
+    # instead of gather -> batched matmul -> scatter per entity batch
+    lat = op.lattice_form()
+    base_mv = lat.make_matvec(op) if lat is not None else op.matvec
+
     def matvec(x):
         xa = jax.tree.map(lambda xi, m: jnp.where(m, xi, 0.0), x, active)
-        y = op.matvec(xa)
+        y = base_mv(xa)
         # identity on inactive/constrained dofs
         return jax.tree.map(
             lambda yi, xi, m: jnp.where(m, yi, xi), y, x, active

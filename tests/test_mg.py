@@ -80,7 +80,11 @@ def test_mg_schwarz_interface_s1():
     vc = s.mg_preconditioner(min_n=8, interface_dense_max=0)
     assert vc.schwarz_inv is not None and vc.interface_inv is None
 
-    res = solve(s.op, s.b, method="bicgstab", tol=1e-10, maxiter=120, precond=vc)
+    # BiCGStab on this preconditioned system is knife-edge: trajectories
+    # separated by one ulp of matvec reassociation (tap vs batch path)
+    # converge in anywhere from ~80 to ~200 iterations (both measured),
+    # so the budget covers the chaotic band, not the lucky path
+    res = solve(s.op, s.b, method="bicgstab", tol=1e-10, maxiter=240, precond=vc)
     assert res.converged, res.residual
 
     res_dense = solve(s.op, s.b, method="dense")
