@@ -456,25 +456,31 @@ class Batch:
             cur += nloc * vsz
         return y
 
-    def matvec_into(self, x: Dict[str, Array], y: Dict[str, Array]) -> Dict[str, Array]:
+    def matvec_into(
+        self, x: Dict[str, Array], y: Dict[str, Array], mats: Optional[Array] = None
+    ) -> Dict[str, Array]:
+        if mats is None:
+            mats = self.matrices
         x_loc = self.gather(x)
         if self.orient is None:
-            y_loc = jnp.einsum("eij,ej->ei", self.matrices, x_loc)
+            y_loc = jnp.einsum("eij,ej->ei", mats, x_loc)
         else:
             # uniform batch: one matrix per orientation — apply both and
             # select, never materializing per-entity matrices (O(1) memory)
-            y_loc = x_loc @ self.matrices[0].T
-            for o in range(1, self.matrices.shape[0]):
+            y_loc = x_loc @ mats[0].T
+            for o in range(1, mats.shape[0]):
                 y_loc = jnp.where(
-                    (self.orient == o)[:, None], x_loc @ self.matrices[o].T, y_loc
+                    (self.orient == o)[:, None], x_loc @ mats[o].T, y_loc
                 )
         return self.scatter_add(y, y_loc)
 
-    def diagonal_into(self, d: Dict[str, Array]) -> Dict[str, Array]:
+    def diagonal_into(self, d: Dict[str, Array], mats: Optional[Array] = None) -> Dict[str, Array]:
+        if mats is None:
+            mats = self.matrices
         if self.orient is None:
-            dloc = jnp.diagonal(self.matrices, axis1=-2, axis2=-1)
+            dloc = jnp.diagonal(mats, axis1=-2, axis2=-1)
         else:
-            diags = jnp.diagonal(self.matrices, axis1=-2, axis2=-1)  # (no, n)
+            diags = jnp.diagonal(mats, axis1=-2, axis2=-1)  # (no, n)
             dloc = diags[self.orient]
         ne = self.segments[0][1].shape[0]
         dloc = jnp.broadcast_to(dloc, (ne, dloc.shape[-1]))
@@ -573,11 +579,25 @@ class Operator:
     def __call__(self, x):
         return self.matvec(x)
 
-    def diagonal(self) -> Dict[str, Array]:
+    def diagonal(self, overrides: Optional[Dict[int, Array]] = None) -> Dict[str, Array]:
+        """Jacobi diagonal.  ``overrides`` maps batch index -> matrices to
+        use instead of the stored ones (traced jit arguments, so a
+        compiled consumer survives :meth:`reassemble`)."""
         d = self.system.zeros()
-        for b in self.batches:
-            d = b.diagonal_into(d)
+        for i, b in enumerate(self.batches):
+            if overrides is not None and i in overrides:
+                d = b.diagonal_into(d, mats=overrides[i])
+            else:
+                d = b.diagonal_into(d)
         return d
+
+    def dynamic_batch_ids(self) -> Tuple[int, ...]:
+        """Indices of data-dependent (rebuildable) batches."""
+        return tuple(
+            i
+            for i, b in enumerate(self.batches)
+            if getattr(b, "rebuild", None) is not None
+        )
 
     def lattice_form(self):
         """Tap-form lattice representation (:mod:`phifem_tpu.ops.taps`) of
@@ -613,9 +633,13 @@ class Operator:
 
     def _bump_version(self) -> None:
         self._data_version = self.data_version + 1
-        # compiled solver runners captured the old matrices at trace time
-        if hasattr(self, "_solve_cache"):
-            self._solve_cache.clear()
+        # solve()'s runners take the data-dependent values as traced
+        # ARGUMENTS and survive reassembles; solve_ir's ("ir"-keyed) bake
+        # them at trace time and must be dropped
+        cache = getattr(self, "_solve_cache", None)
+        if cache:
+            for k in [k for k in cache if k[0] == "ir"]:
+                del cache[k]
 
     def reassemble(self) -> None:
         """Recompute data-dependent element matrices in place (jit cache

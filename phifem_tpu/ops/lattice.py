@@ -44,7 +44,15 @@ import numpy as np
 
 Array = jnp.ndarray
 
-__all__ = ["vertex_stencil_weights", "LatticeMG", "build_lattice_mg", "lattice_cg"]
+__all__ = [
+    "vertex_stencil_weights",
+    "block_vertex_stencil_weights",
+    "LatticeMG",
+    "LatticeBlockMG",
+    "build_lattice_mg",
+    "build_lattice_block_mg",
+    "lattice_cg",
+]
 
 
 def vertex_stencil_weights(mats, offs_per_orient) -> np.ndarray:
@@ -299,6 +307,211 @@ def build_lattice_mg(
     inv = _dense_coarse_inv(terms, levels[-1].R, levels[-1].C, coarse_mask)
     return LatticeMG(
         levels, terms, jnp.asarray(inv, dtype), dtype=dtype, masks=lvl_masks, **kw
+    )
+
+
+def block_vertex_stencil_weights(mats, offs_per_orient, vsz: int) -> np.ndarray:
+    """Aggregate per-orientation VECTOR element matrices into the
+    (3, 3, vsz, vsz) block vertex stencil (the (2x2)-block generalization
+    of :func:`vertex_stencil_weights` — e.g. the S5 elasticity bulk).
+
+    Local column layout is node-major / component-minor, matching the
+    assembly gather order.
+    """
+    w = np.zeros((3, 3, vsz, vsz))
+    mats = np.asarray(mats, np.float64)
+    for o, offs in enumerate(offs_per_orient):
+        for i, (dxi, dyi) in enumerate(offs):
+            for j, (dxj, dyj) in enumerate(offs):
+                w[1 + dyj - dyi, 1 + dxj - dxi] += mats[
+                    o, i * vsz : (i + 1) * vsz, j * vsz : (j + 1) * vsz
+                ]
+    return w
+
+
+def _block_terms(w: np.ndarray) -> List[Tuple[int, int, np.ndarray]]:
+    """Nonzero (a, b, (vsz, vsz) block) triples of a block stencil."""
+    out = []
+    scale = max(1e-300, np.abs(w).max())
+    for a in range(3):
+        for b in range(3):
+            if np.abs(w[a, b]).max() > 1e-14 * scale:
+                out.append((a, b, w[a, b].copy()))
+    return out
+
+
+def _conv_interior_block(xp: Array, terms, W: Array, R: int, C: int) -> Array:
+    """(A x) at the logical-interior nodes for channels-first block
+    lattices: ``xp`` (vsz, R+2, C+2) -> (vsz, R-2, C-2).
+
+    ``W`` stacks the per-term (vsz, vsz) blocks (len(terms), vsz, vsz) in
+    the compute dtype."""
+    acc = None
+    for t, (a, b, _) in enumerate(terms):
+        xs = xp[:, a + 1 : a + R - 1, b + 1 : b + C - 1]
+        part = jnp.einsum("ij,jrc->irc", W[t], xs)
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _dense_coarse_inv_block(
+    terms, R: int, C: int, vsz: int, mask: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Exact inverse of the reduced block operator on the coarsest
+    interior; flat index = (node_row * nj + node_col) * vsz + comp."""
+    ni, nj = R - 2, C - 2
+    n = ni * nj * vsz
+    A = np.zeros((n, n))
+    for a, b, Wb in terms:
+        dy, dx = a - 1, b - 1
+        for i in range(ni):
+            i2 = i + dy
+            if not (0 <= i2 < ni):
+                continue
+            for j in range(nj):
+                j2 = j + dx
+                if 0 <= j2 < nj:
+                    r0 = (i * nj + j) * vsz
+                    c0 = (i2 * nj + j2) * vsz
+                    A[r0 : r0 + vsz, c0 : c0 + vsz] += Wb
+    if mask is not None:
+        act = np.repeat(
+            np.asarray(mask[1 : R - 1, 1 : C - 1], bool).reshape(-1), vsz
+        )
+        A[~act, :] = 0.0
+        A[:, ~act] = 0.0
+        idx = np.where(~act)[0]
+        A[idx, idx] = 1.0
+    return np.linalg.inv(A)
+
+
+@dataclasses.dataclass
+class LatticeBlockMG:
+    """Block (multi-channel) V-cycle on channels-first padded lattices
+    (vsz, R+2, C+2) — the vector-field generalization of
+    :class:`LatticeMG` (S5 elasticity bulk: vsz=2).
+
+    Smoothing is block Jacobi with the constant interior (vsz, vsz)
+    diagonal-block inverse; transfers are componentwise bilinear
+    (vmapped over the channel axis)."""
+
+    levels: List[_Level]
+    terms: List[Tuple[int, int, np.ndarray]]
+    coarse_inv: Array
+    vsz: int
+    dtype: jnp.dtype = jnp.float32
+    omega: float = 0.8
+    pre_smooth: int = 2
+    post_smooth: int = 2
+    masks: Optional[List[Array]] = None  # per-level (R, C), channel-shared
+
+    def __post_init__(self):
+        d = next(Wb for a, b, Wb in self.terms if a == 1 and b == 1)
+        self._dinv = jnp.asarray(np.linalg.inv(d), self.dtype)
+        self._W = jnp.asarray(
+            np.stack([Wb for _, _, Wb in self.terms]), self.dtype
+        )
+
+    def _mask_int(self, k: int, R: int, C: int):
+        if self.masks is None:
+            return None
+        return self.masks[k][1 : R - 1, 1 : C - 1]
+
+    def _smooth(self, xp, bp, lvl: _Level, k: int, sweeps: int):
+        R, C = lvl.R, lvl.C
+        om = jnp.asarray(self.omega, xp.dtype)
+        Dinv = self._dinv.astype(xp.dtype)
+        m = self._mask_int(k, R, C)
+        for _ in range(sweeps):
+            r = bp[:, 2:R, 2:C] - _conv_interior_block(
+                xp, self.terms, self._W.astype(xp.dtype), R, C
+            )
+            upd = om * jnp.einsum("ij,jrc->irc", Dinv, r)
+            if m is not None:
+                upd = upd * m
+            xp = xp.at[:, 2:R, 2:C].add(upd)
+        return xp
+
+    def _cycle(self, k: int, bp):
+        lvl = self.levels[k]
+        R, C = lvl.R, lvl.C
+        if k == len(self.levels) - 1:
+            # flat layout (node-major, comp-minor) to match the dense inv
+            v = bp[:, 2:R, 2:C]
+            flat = jnp.moveaxis(v, 0, -1).reshape(-1)
+            sol = self.coarse_inv.astype(bp.dtype) @ flat
+            v = jnp.moveaxis(
+                sol.reshape(R - 2, C - 2, self.vsz), -1, 0
+            )
+            out = jnp.zeros_like(bp)
+            return out.at[:, 2:R, 2:C].set(v)
+        xp = self._smooth(jnp.zeros_like(bp), bp, lvl, k, self.pre_smooth)
+        r_int = bp[:, 2:R, 2:C] - _conv_interior_block(
+            xp, self.terms, self._W.astype(bp.dtype), R, C
+        )
+        m = self._mask_int(k, R, C)
+        if m is not None:
+            r_int = r_int * m
+        nxt = self.levels[k + 1]
+        bc = jax.vmap(lambda ri: _restrict(ri, nxt.R, nxt.C))(r_int)
+        if self.masks is not None:
+            bc = bc * _embed_mask(self.masks[k + 1], nxt.R, nxt.C)
+        ec = self._cycle(k + 1, bc)
+        corr = jax.vmap(lambda e: _prolong(e, nxt.R, nxt.C))(ec)
+        if self.masks is not None:
+            corr = corr * self.masks[k]
+        xp = xp.at[:, 2:R, 2:C].add(corr[:, 1:-1, 1:-1])
+        return self._smooth(xp, bp, lvl, k, self.post_smooth)
+
+    def __call__(self, bp: Array) -> Array:
+        in_dt = bp.dtype
+        if in_dt != self.dtype:
+            bp = bp.astype(self.dtype)
+        return self._cycle(0, bp).astype(in_dt)
+
+
+def _embed_mask(m: Array, R: int, C: int) -> Array:
+    """Logical (R, C) mask -> padded (R+2, C+2) with zero ring, restricted
+    to the reduced interior convention (borders stay zero)."""
+    out = jnp.zeros((R + 2, C + 2), m.dtype)
+    return out.at[2:R, 2:C].set(m[1:-1, 1:-1])
+
+
+def build_lattice_block_mg(
+    nx: int,
+    ny: int,
+    w: np.ndarray,
+    min_n: int = 16,
+    dtype=jnp.float32,
+    mask: Optional[np.ndarray] = None,
+    **kw,
+) -> LatticeBlockMG:
+    """Build the block V-cycle for an ``nx x ny``-block lattice with
+    (3, 3, vsz, vsz) block vertex stencil ``w`` (scale-free in 2D, so all
+    levels share it)."""
+    vsz = int(w.shape[-1])
+    levels = [_Level(ny + 1, nx + 1)]
+    while nx % 2 == 0 and ny % 2 == 0 and nx // 2 >= min_n and ny // 2 >= min_n:
+        nx //= 2
+        ny //= 2
+        levels.append(_Level(ny + 1, nx + 1))
+    terms = _block_terms(np.asarray(w))
+    lvl_masks = None
+    coarse_mask = None
+    if mask is not None:
+        m = np.asarray(mask, bool)
+        masks_np = [m]
+        for _ in levels[1:]:
+            m = _coarsen_mask(m)
+            masks_np.append(m)
+        coarse_mask = masks_np[-1]
+        lvl_masks = [jnp.asarray(mm, dtype) for mm in masks_np]
+    inv = _dense_coarse_inv_block(
+        terms, levels[-1].R, levels[-1].C, vsz, coarse_mask
+    )
+    return LatticeBlockMG(
+        levels, terms, jnp.asarray(inv, dtype), vsz, dtype=dtype,
+        masks=lvl_masks, **kw
     )
 
 

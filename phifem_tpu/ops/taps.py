@@ -159,11 +159,18 @@ class TapOperator:
         return out
 
     # ------------------------------------------------------------- matvec
-    def make_matvec(self, op, dtype=None):
+    def make_matvec(self, op, dtype=None, W=None):
         """A matvec closure computing in ``dtype`` (None = input dtype).
-        Stencil-batch matrices / weight planes are pre-cast once."""
+        Stencil-batch matrices / weight planes are pre-cast once.
+
+        ``W`` optionally overrides the weight buffer — pass it as a traced
+        jit argument to get a compiled solver that survives
+        ``reassemble`` (weights change, structure doesn't)."""
         P = self.pad
-        W = self.W if dtype is None else self.W.astype(dtype)
+        if W is None:
+            W = self.W
+        if dtype is not None:
+            W = W.astype(dtype)
         sten = []
         for bi in self._stencil_ids:
             b = op.batches[bi]

@@ -42,6 +42,22 @@ def tree_dot(a, b) -> Array:
     return jax.tree.reduce(jnp.add, leaves)
 
 
+def tree_dot32(a, b) -> Array:
+    """Krylov recurrence dot: float32 products/reduction, cast back to the
+    input dtype.  On v5e float64 is software-emulated and its REDUCTIONS
+    are ~30x slow (measured, see ops/lattice.py); alpha/beta only need
+    ~1e-6 relative accuracy (inexact-coefficient Krylov behaves like the
+    flexible variant — the full-precision vector recurrences keep the
+    residual itself accurate)."""
+    dt = jax.tree.leaves(a)[0].dtype
+    if dt == jnp.float32:
+        return tree_dot(a, b)
+    leaves = jax.tree.map(
+        lambda x, y: jnp.vdot(x.astype(jnp.float32), y.astype(jnp.float32)), a, b
+    )
+    return jax.tree.reduce(jnp.add, leaves).astype(dt)
+
+
 def tree_axpy(alpha, x, y):
     return jax.tree.map(lambda xi, yi: alpha * xi + yi, x, y)
 
@@ -70,7 +86,9 @@ def _apply_masks(x: Dict[str, Array], bcs, zero: bool) -> Dict[str, Array]:
 
 
 def masked_operator(
-    op: Operator, bcs: Tuple[DirichletBC, ...] = ()
+    op: Operator,
+    bcs: Tuple[DirichletBC, ...] = (),
+    dyn: Optional[Tuple] = None,
 ) -> Tuple[Callable, Dict[str, Array], Dict[str, Array]]:
     """Wrap an operator with Dirichlet-BC row/column masking and
     exterior-DoF identity rows.
@@ -78,8 +96,21 @@ def masked_operator(
     Returns ``(matvec, diag, active)`` where ``matvec`` acts as the reduced
     operator A_red (identity on constrained/inactive DoFs), ``diag`` is its
     Jacobi diagonal, and ``active`` masks genuinely active DoFs.
+
+    ``dyn = (W, mats_tuple)`` optionally supplies the tap weight buffer and
+    the dynamic batches' matrices as TRACED values (in
+    ``op.dynamic_batch_ids()`` order) so a jitted consumer keeps working
+    after ``reassemble`` without retracing.
     """
-    diag = op.diagonal()
+    W = mats_tuple = None
+    if dyn is not None:
+        W, mats_tuple = dyn
+    overrides = (
+        dict(zip(op.dynamic_batch_ids(), mats_tuple))
+        if mats_tuple is not None
+        else None
+    )
+    diag = op.diagonal(overrides)
     active = jax.tree.map(lambda d: d != 0.0, diag)
     for bc in bcs:
         active[bc.field] = jnp.logical_and(
@@ -89,7 +120,21 @@ def masked_operator(
     # tap-form fast path (ops.taps): shifted-slice lattice arithmetic
     # instead of gather -> batched matmul -> scatter per entity batch
     lat = op.lattice_form()
-    base_mv = lat.make_matvec(op) if lat is not None else op.matvec
+    if lat is not None:
+        base_mv = lat.make_matvec(op, W=W)
+    elif overrides is not None:
+
+        def base_mv(x):
+            y = op.system.zeros()
+            for i, b in enumerate(op.batches):
+                if i in overrides:
+                    y = b.matvec_into(x, y, mats=overrides[i])
+                else:
+                    y = b.matvec_into(x, y)
+            return y
+
+    else:
+        base_mv = op.matvec
 
     def matvec(x):
         xa = jax.tree.map(lambda xi, m: jnp.where(m, xi, 0.0), x, active)
@@ -99,21 +144,29 @@ def masked_operator(
             lambda yi, xi, m: jnp.where(m, yi, xi), y, x, active
         )
 
+    matvec.raw = base_mv  # unmasked operator (BC lifting needs it)
     diag_red = jax.tree.map(lambda d, m: jnp.where(m, d, 1.0), diag, active)
     return matvec, diag_red, active
 
 
 def lift_rhs(
-    op: Operator, b: Dict[str, Array], bcs: Tuple[DirichletBC, ...], active
+    op: Operator,
+    b: Dict[str, Array],
+    bcs: Tuple[DirichletBC, ...],
+    active,
+    raw_matvec: Optional[Callable] = None,
 ) -> Dict[str, Array]:
     """Apply Dirichlet lifting: b <- b - A g on active DoFs, b|_bc = g,
-    b|_inactive = 0 (reference ``apply_lifting`` + ``bc.set``)."""
+    b|_inactive = 0 (reference ``apply_lifting`` + ``bc.set``).
+
+    ``raw_matvec`` optionally supplies the (possibly value-parametric)
+    unmasked operator application; defaults to ``op.matvec``."""
     if bcs:
         g = {
             n: jnp.zeros_like(v) for n, v in b.items()
         }
         g = _apply_masks(g, bcs, zero=False)
-        Ag = op.matvec(g)
+        Ag = (raw_matvec or op.matvec)(g)
         b = jax.tree.map(lambda bi, ai: bi - ai, b, Ag)
         b = _apply_masks(b, bcs, zero=False)
     b = jax.tree.map(lambda bi, m: jnp.where(m, bi, 0.0), b, active)
@@ -128,6 +181,81 @@ class SolveResult:
     residual: float
     iterations: int
     converged: bool
+
+
+def _pcg(matvec, b, x0, *, tol, atol, maxiter, M):
+    """Preconditioned CG on pytrees as one ``lax.while_loop`` with an
+    iteration counter (the PETSc ``KSPGetIterationNumber`` analogue the
+    reference reads implicitly from its KSP solves)."""
+    bnorm2 = tree_dot32(b, b)
+    target2 = jnp.maximum(tol * tol * bnorm2, jnp.asarray(atol) ** 2)
+
+    r0 = jax.tree.map(lambda bi, ai: bi - ai, b, matvec(x0))
+    z0 = M(r0)
+    state = (x0, r0, z0, z0, tree_dot32(r0, z0), jnp.asarray(0, jnp.int32))
+
+    def cond(st):
+        x, r, p, z, rz, it = st
+        return jnp.logical_and(tree_dot32(r, r) > target2, it < maxiter)
+
+    def body(st):
+        x, r, p, z, rz, it = st
+        Ap = matvec(p)
+        alpha = rz / tree_dot32(p, Ap)
+        x = tree_axpy(alpha, p, x)
+        r = tree_axpy(-alpha, Ap, r)
+        z = M(r)
+        rz_new = tree_dot32(r, z)
+        p = tree_axpy(rz_new / rz, p, z)
+        return x, r, p, z, rz_new, it + 1
+
+    x, r, p, z, rz, it = jax.lax.while_loop(cond, body, state)
+    return x, it
+
+
+def _pbicgstab(matvec, b, x0, *, tol, atol, maxiter, M):
+    """Preconditioned BiCGStab on pytrees: one ``lax.while_loop``, counted.
+
+    Matches the classical recurrence (right-preconditioned form); exits on
+    the true-residual norm test or rho/omega breakdown (NaNs propagate to
+    a non-finite residual, which also stops the loop)."""
+    bnorm2 = tree_dot32(b, b)
+    target2 = jnp.maximum(tol * tol * bnorm2, jnp.asarray(atol) ** 2)
+
+    r0 = jax.tree.map(lambda bi, ai: bi - ai, b, matvec(x0))
+    rhat = r0
+    zeros = jax.tree.map(jnp.zeros_like, b)
+    one = jnp.asarray(1.0, jax.tree.leaves(b)[0].dtype)
+    state = (x0, r0, rhat, zeros, zeros, one, one, one, jnp.asarray(0, jnp.int32))
+
+    def cond(st):
+        x, r, rhat, p, v, rho, alpha, omega, it = st
+        rr = tree_dot32(r, r)
+        ok = jnp.isfinite(rr)
+        return jnp.logical_and(jnp.logical_and(rr > target2, it < maxiter), ok)
+
+    def body(st):
+        x, r, rhat, p, v, rho, alpha, omega, it = st
+        rho_new = tree_dot32(rhat, r)
+        beta = jnp.where(it == 0, 0.0, (rho_new / rho) * (alpha / omega))
+        p = jax.tree.map(
+            lambda ri, pi, vi: ri + beta * (pi - omega * vi), r, p, v
+        )
+        phat = M(p)
+        v = matvec(phat)
+        alpha = rho_new / tree_dot32(rhat, v)
+        s = tree_axpy(-alpha, v, r)
+        shat = M(s)
+        t = matvec(shat)
+        omega = tree_dot32(t, s) / tree_dot32(t, t)
+        x = jax.tree.map(
+            lambda xi, ph, sh: xi + alpha * ph + omega * sh, x, phat, shat
+        )
+        r = tree_axpy(-omega, t, s)
+        return x, r, rhat, p, v, rho_new, alpha, omega, it + 1
+
+    x, r, *_, it = jax.lax.while_loop(cond, body, state)
+    return x, it
 
 
 def solve(
@@ -146,67 +274,35 @@ def solve(
 
     ``precond`` overrides the default Jacobi preconditioner (e.g. a
     :class:`phifem_tpu.mg.VCycle`)."""
-    matvec, diag, active = masked_operator(op, bcs)
-    b = lift_rhs(op, b, bcs, active)
-
     if method == "dense":
+        matvec, diag, active = masked_operator(op, bcs)
+        b = lift_rhs(op, b, bcs, active)
         return _dense_solve(op, b, bcs, active)
-
-    # Symmetric diagonal equilibration: phi-FEM penalty rows scale like
-    # h^-3 against O(1) stiffness rows; solving D^-1/2 A D^-1/2 y = D^-1/2 b
-    # compresses that dynamic range, which matters in float32 where the raw
-    # system's Krylov recurrences stall several digits early.
-    dsqrt = jax.tree.map(
-        lambda d: jnp.sqrt(jnp.where(jnp.abs(d) > 1e-30, jnp.abs(d), 1.0)), diag
-    )
-    dinv_sqrt = jax.tree.map(lambda d: 1.0 / d, dsqrt)
-    raw_matvec = matvec
-
-    def matvec(y):
-        xs = jax.tree.map(lambda yi, di: yi * di, y, dinv_sqrt)
-        z = raw_matvec(xs)
-        return jax.tree.map(lambda zi, di: zi * di, z, dinv_sqrt)
-
-    b = jax.tree.map(lambda bi, di: bi * di, b, dinv_sqrt)
-
-    if precond is not None:
-        # wrap a preconditioner P ~ A^-1 of the unscaled system:
-        # M = D^1/2 P D^1/2 ~ (D^-1/2 A D^-1/2)^-1
-        M = lambda r: jax.tree.map(
-            lambda vi, di: vi * di,
-            precond(jax.tree.map(lambda ri, di: ri * di, r, dsqrt)),
-            dsqrt,
-        )
-    else:
-        # scaled system has unit diagonal
-        M = lambda r: r
-
-    if x0 is not None:
-        x0 = jax.tree.map(lambda xi, di: xi * di, x0, dsqrt)
 
     if maxiter is None:
         maxiter = 25 * int(np.sqrt(op.system.num_dofs)) + 1000
-
-    solvers = {
-        "cg": jax.scipy.sparse.linalg.cg,
-        "bicgstab": jax.scipy.sparse.linalg.bicgstab,
-        "gmres": jax.scipy.sparse.linalg.gmres,
-    }
-    if method not in solvers:
+    if method not in ("cg", "bicgstab", "gmres"):
         raise ValueError(f"Unknown method {method!r}.")
-    kw = dict(tol=tol, atol=atol, maxiter=maxiter, M=M)
-    if method == "gmres":
-        kw.update(restart=50, solve_method="batched")
 
-    # jit the whole Krylov iteration (matvec + preconditioner + recurrences)
-    # into one program — essential on remote devices where eager dispatch
-    # latency would otherwise dominate every V-cycle application.  The
-    # compiled runner is memoized on the operator so repeated solves
-    # (convergence loops, benchmarks) skip retracing entirely.
-    # key on BC identities (the jitted closure bakes in their masks/values;
-    # closures keep the bc objects alive so ids are stable) and on the
-    # preconditioner's identity + mutation version (attach_interface_solve
-    # bumps _version when it equips an already-built V-cycle)
+    # build (and refresh) the tap form OUTSIDE the trace — host work
+    lat = op.lattice_form()
+    # the data-dependent values enter the compiled runner as ARGUMENTS, so
+    # reassemble() (same structure, new values) reuses the compiled solve
+    dyn_args = (
+        None if lat is None else lat.W,
+        tuple(op.batches[i].matrices for i in op.dynamic_batch_ids()),
+    )
+
+    # The ENTIRE solve — diagonal extraction, BC masking, Dirichlet lift,
+    # equilibration, the Krylov while_loop, the final residual and the
+    # change of variables back — is ONE jitted program, memoized on the
+    # operator.  Anything eager out here costs a dispatch round trip per
+    # op on a remote device (~0.3 s of pure overhead per solve measured
+    # at n=200 before this was hoisted).  Key on BC identities (the
+    # closure bakes in their masks/values; closures keep the bc objects
+    # alive so ids are stable) and on the preconditioner's identity +
+    # mutation version (attach_interface_solve bumps _version when it
+    # equips an already-built V-cycle).
     cache_key = (
         method,
         float(tol),
@@ -223,22 +319,75 @@ def solve(
     if _run is None:
 
         @jax.jit
-        def _run(b, x0):
-            x, info = solvers[method](matvec, b, x0=x0, **kw)
-            r = jax.tree.map(lambda bi, ai: bi - ai, b, matvec(x))
+        def _run(b, x0, dyn):
+            # x0/dyn are ARGUMENTS (jax.jit retraces per structure), not
+            # closures — callers may pass x0 or not, and dyn carries the
+            # data-dependent weights/matrices across reassembles
+            matvec, diag, active = masked_operator(op, bcs, dyn=dyn)
+            b_l = lift_rhs(op, b, bcs, active, raw_matvec=matvec.raw)
+
+            # Symmetric diagonal equilibration: phi-FEM penalty rows scale
+            # like h^-3 against O(1) stiffness rows; solving
+            # D^-1/2 A D^-1/2 y = D^-1/2 b compresses that dynamic range,
+            # which matters in float32 where the raw system's Krylov
+            # recurrences stall several digits early.
+            dsqrt = jax.tree.map(
+                lambda d: jnp.sqrt(jnp.where(jnp.abs(d) > 1e-30, jnp.abs(d), 1.0)),
+                diag,
+            )
+            dinv_sqrt = jax.tree.map(lambda d: 1.0 / d, dsqrt)
+
+            def mv_eq(y):
+                xs = jax.tree.map(lambda yi, di: yi * di, y, dinv_sqrt)
+                z = matvec(xs)
+                return jax.tree.map(lambda zi, di: zi * di, z, dinv_sqrt)
+
+            b_eq = jax.tree.map(lambda bi, di: bi * di, b_l, dinv_sqrt)
+            if precond is not None:
+                # wrap a preconditioner P ~ A^-1 of the unscaled system:
+                # M = D^1/2 P D^1/2 ~ (D^-1/2 A D^-1/2)^-1
+                M = lambda r: jax.tree.map(
+                    lambda vi, di: vi * di,
+                    precond(jax.tree.map(lambda ri, di: ri * di, r, dsqrt)),
+                    dsqrt,
+                )
+            else:
+                M = lambda r: r  # scaled system has unit diagonal
+
+            x0_eq = (
+                jax.tree.map(jnp.zeros_like, b_eq)
+                if x0 is None
+                else jax.tree.map(lambda xi, di: xi * di, x0, dsqrt)
+            )
+            if method == "gmres":
+                x, _ = jax.scipy.sparse.linalg.gmres(
+                    mv_eq, b_eq, x0=x0_eq, tol=tol, atol=atol, maxiter=maxiter,
+                    M=M, restart=50, solve_method="batched",
+                )
+                it = jnp.asarray(-1, jnp.int32)  # gmres: count unavailable
+            else:
+                runner = _pcg if method == "cg" else _pbicgstab
+                x, it = runner(
+                    mv_eq, b_eq, x0_eq, tol=tol, atol=atol, maxiter=maxiter, M=M
+                )
+            r = jax.tree.map(lambda bi, ai: bi - ai, b_eq, mv_eq(x))
             rnorm = jnp.sqrt(tree_dot(r, r))
-            bnorm = jnp.sqrt(tree_dot(b, b))
-            return x, rnorm / jnp.maximum(bnorm, 1e-300)
+            bnorm = jnp.sqrt(tree_dot(b_eq, b_eq))
+            # undo the equilibration change of variables: x = D^-1/2 y
+            x = jax.tree.map(lambda yi, di: yi * di, x, dinv_sqrt)
+            # pack (relres, iters) so ONE value fetch syncs the whole solve
+            return x, jnp.stack(
+                [rnorm / jnp.maximum(bnorm, 1e-300), it.astype(rnorm.dtype)]
+            )
 
         cache[cache_key] = _run
 
-    if x0 is None:
-        x0 = jax.tree.map(jnp.zeros_like, b)
-    x, rel = _run(b, x0)
-    rel = float(rel)
-    # undo the equilibration change of variables: x = D^-1/2 y
-    x = jax.tree.map(lambda yi, di: yi * di, x, dinv_sqrt)
-    return SolveResult(x=x, residual=rel, iterations=-1, converged=rel <= 10 * tol)
+    x, stats = _run(b, x0, dyn_args)
+    stats = np.asarray(stats)
+    rel, iters = float(stats[0]), int(stats[1])
+    return SolveResult(
+        x=x, residual=rel, iterations=iters, converged=rel <= 10 * tol
+    )
 
 
 def solve_ir(

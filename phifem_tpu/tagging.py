@@ -88,13 +88,24 @@ def tag_cells(
     levelset: LevelSet,
     detection_degree: int,
     single_layer_cut: bool = False,
-) -> Array:
+    return_degenerate: bool = False,
+):
     """Cell tags 1/2/3 as a dense int8 array (reference ``_tag_cells``,
-    ``mesh_scripts.py:284-390``)."""
+    ``mesh_scripts.py:284-390``).
+
+    ``return_degenerate=True`` additionally returns the count of
+    degenerate cells — every detection value exactly zero (or NaN), which
+    the pipeline forces to *cut* and the reference reports with a
+    ``RuntimeWarning`` (``mesh_scripts.py:121-133``)."""
     pts = lsmod.detection_points(grid.cell_type, detection_degree)
     vals = lsmod.evaluate_on_cells(grid, levelset, pts)  # (nc, npts)
     has_pos, has_neg = lsmod.sign_flags(vals)
     tags = lsmod.classify(has_pos, has_neg)
+    n_degenerate = (
+        jnp.sum(jnp.logical_and(jnp.logical_not(has_pos), jnp.logical_not(has_neg)))
+        if return_degenerate
+        else None
+    )
 
     if single_layer_cut:
         # vertex max-pool in LATTICE form (shifted pads/maxima — no
@@ -140,6 +151,8 @@ def tag_cells(
         isolated_cut = jnp.logical_and(tags == 2, jnp.logical_not(connected))
         tags = jnp.where(isolated_cut, jnp.int8(3), tags)
 
+    if return_degenerate:
+        return tags, n_degenerate
     return tags
 
 
@@ -406,9 +419,11 @@ def _tags_jit(grid, degree, single_layer_cut, ls_call, ls_space, ls_data):
     from .spaces import Function as _Function
 
     ls = ls_call if ls_call is not None else _Function(ls_space, ls_data)
-    cells = tag_cells(grid, ls, degree, single_layer_cut)
+    cells, ndeg = tag_cells(
+        grid, ls, degree, single_layer_cut, return_degenerate=True
+    )
     facets = tag_facets(grid, cells, ls, degree)
-    return cells, facets
+    return cells, facets, ndeg
 
 
 def compute_tags_measures(
@@ -429,13 +444,26 @@ def compute_tags_measures(
     from .spaces import Function as _Function
 
     if isinstance(levelset, _Function):
-        cells, facets = _tags_jit(
+        out = _tags_jit(
             grid, detection_degree, single_layer_cut, None,
             levelset.space, levelset.data,
         )
     else:
-        cells, facets = _tags_jit(
+        out = _tags_jit(
             grid, detection_degree, single_layer_cut, levelset, None, None
+        )
+    # ONE packed fetch for (cells, facets, degenerate count): the facet
+    # entity lists below need host values anyway, and separate fetches
+    # each cost a full round trip on a remote device
+    cells, facets, ndeg = jax.device_get(out)
+
+    if int(ndeg) > 0:
+        warnings.warn(
+            f"{int(ndeg)} cell(s) have an identically-zero (or NaN) level "
+            "set at every detection point; they are classified as cut "
+            "(reference degenerate-cell convention).",
+            RuntimeWarning,
+            stacklevel=2,
         )
 
     cells_tags = EntityTags("cell", cells)

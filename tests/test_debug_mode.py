@@ -23,3 +23,29 @@ def test_no_debug_no_raise(monkeypatch):
     g = pf.Grid(8, 8, ((-1.5, -1.5), (1.5, 1.5)), "triangle")
     res = pf.compute_tags_measures(g, lambda x: jnp.ones(x.shape[:-1]), 1, box_mode=True)
     assert np.all(res.cells_tags.as_numpy() == 3)
+
+
+def test_degenerate_cell_runtime_warning():
+    """A level set that is identically zero on some cells' detection
+    points must classify them as cut AND emit a RuntimeWarning (reference
+    degenerate-denominator convention, mesh_scripts.py:121-133)."""
+    g = pf.Grid(8, 8, ((0.0, 0.0), (1.0, 1.0)), "triangle")
+
+    # zero on the left half of the box, negative on the right: the left
+    # half's detection points all evaluate to exactly 0
+    phi = lambda x: jnp.where(x[..., 0] > 0.5, -1.0, 0.0)
+    with pytest.warns(RuntimeWarning, match="detection point"):
+        res = pf.compute_tags_measures(g, phi, 1, box_mode=True)
+    ct = res.cells_tags.as_numpy()
+    assert np.any(ct == 2)  # degenerate cells forced to cut
+
+
+def test_healthy_levelset_no_degenerate_warning():
+    import warnings as _w
+
+    g = pf.Grid(8, 8, ((-1.5, -1.5), (1.5, 1.5)), "triangle")
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        pf.compute_tags_measures(
+            g, lambda x: x[..., 0] ** 2 + x[..., 1] ** 2 - 0.5, 1, box_mode=True
+        )

@@ -174,3 +174,65 @@ def test_unsupported_degree_falls_back():
     # the solve must still work on the batch path
     r = s.solve(method="bicgstab", tol=1e-8, maxiter=2000)
     assert r.converged
+
+
+def test_solve_reports_iteration_counts():
+    """SolveResult.iterations must be the real Krylov iteration count
+    (the PETSc KSPGetIterationNumber analogue) for cg and bicgstab."""
+    from phifem_tpu.models import BoxPoisson
+    from phifem_tpu.solvers import solve
+
+    g = pf.Grid(16, 16, ((0.0, 0.0), (1.0, 1.0)), pf.CellType.triangle)
+    uex = lambda x: jnp.sin(jnp.pi * x[..., 0]) * jnp.sin(jnp.pi * x[..., 1])
+    s = BoxPoisson(g).setup(lambda x: 2.0 * jnp.pi**2 * uex(x))
+    s.assemble()
+    r = solve(s.op, s.b, bcs=s.bcs, method="cg", tol=1e-10)
+    assert r.converged and 0 < r.iterations < 200
+
+    g2 = pf.Grid(24, 24, ((-1.0, -1.0), (1.0, 1.0)), pf.CellType.triangle)
+    s2 = WeakDirichletPoisson(g2, mode="bg")
+    s2.setup(_circle, _ones)
+    s2.assemble()
+    r2 = s2.solve(method="bicgstab", tol=1e-10, maxiter=2000)
+    assert r2.converged and 0 < r2.iterations <= 2000
+
+
+def test_warm_pipeline_no_retrace_after_reassemble():
+    """The production convergence-loop iteration: reassemble() with new
+    level-set data must NOT invalidate solve()'s compiled runner (values
+    enter as traced arguments), and the reused runner must solve the NEW
+    operator, matching a from-scratch assembly."""
+    from phifem_tpu.solvers import solve
+
+    g = pf.Grid(24, 24, ((-1.0, -1.0), (1.0, 1.0)), pf.CellType.triangle)
+    s = WeakDirichletPoisson(g, mode="bg")
+    s.setup(_circle, _ones)
+    s.assemble()
+    r1 = s.solve(method="bicgstab", tol=1e-10, maxiter=1000)
+    assert r1.converged
+    runner_keys = set(s.op._solve_cache.keys())
+    runner = next(iter(s.op._solve_cache.values()))
+    n_traces = runner._cache_size()
+
+    # new data, same topology: phi scaled => penalty terms change
+    s.phi_h.data = s.phi_h.data * 1.5
+    s.op.reassemble()
+    r2 = s.solve(method="bicgstab", tol=1e-10, maxiter=1000)
+    assert r2.converged
+    assert set(s.op._solve_cache.keys()) == runner_keys  # runner survived
+    assert runner._cache_size() == n_traces  # and did not retrace
+
+    # the reused runner solved the NEW operator: rebuild from scratch
+    s_ref = WeakDirichletPoisson(g, mode="bg")
+    s_ref.setup(_circle, _ones)
+    s_ref.assemble()
+    s_ref.phi_h.data = s_ref.phi_h.data * 1.5
+    s_ref.op.reassemble()
+    r_ref = s_ref.solve(method="bicgstab", tol=1e-10, maxiter=1000)
+    d = float(jnp.max(jnp.abs(r2.x["u"] - r_ref.x["u"])))
+    sc = float(jnp.max(jnp.abs(r_ref.x["u"])))
+    assert d < 1e-6 * max(sc, 1.0), (d, sc)
+    # and differs from the old solution (the data change was material —
+    # u is invariant under a constant phi scaling, but the auxiliary p
+    # rescales by the inverse factor)
+    assert float(jnp.max(jnp.abs(r2.x["p"] - r1.x["p"]))) > 1e-6
