@@ -323,6 +323,8 @@ class LatticeBulkVCycle(VCycle):
     bulk_masks: Optional[Dict[str, Array]] = None
 
     def _cycle(self, k: int, b):
+        from .ops.lattice import LatticeBlockMG
+
         lvl = self.levels[0]
         out = {}
         for f, v in b.items():
@@ -339,10 +341,25 @@ class LatticeBulkVCycle(VCycle):
                 else a
             )
             R, C = self.lattice_shapes[f]
-            r2 = jnp.where(bulk, v, jnp.zeros_like(v)).reshape(R, C)
-            rp = jnp.zeros((R + 2, C + 2), v.dtype).at[1 : 1 + R, 1 : 1 + C].set(r2)
-            zp = mg2(rp)
-            z = zp[1 : 1 + R, 1 : 1 + C].reshape(-1)
+            rmask = jnp.where(bulk, v, jnp.zeros_like(v))
+            if isinstance(mg2, LatticeBlockMG):
+                # vector/tensor P1 field: channels-first block lattice
+                vsz = mg2.vsz
+                r3 = jnp.moveaxis(rmask.reshape(R, C, vsz), -1, 0)
+                rp = jnp.zeros((vsz, R + 2, C + 2), v.dtype).at[
+                    :, 1 : 1 + R, 1 : 1 + C
+                ].set(r3)
+                zp = mg2(rp)
+                z = jnp.moveaxis(zp[:, 1 : 1 + R, 1 : 1 + C], 0, -1).reshape(
+                    v.shape
+                )
+            else:
+                r2 = rmask.reshape(R, C)
+                rp = jnp.zeros((R + 2, C + 2), v.dtype).at[
+                    1 : 1 + R, 1 : 1 + C
+                ].set(r2)
+                zp = mg2(rp)
+                z = zp[1 : 1 + R, 1 : 1 + C].reshape(v.shape)
             # interface DoFs get damped Jacobi (assembled diag, penalty-
             # aware); the multiplicative block solve then refines them
             jac = self.omega * v * lvl.inv_diag[f]

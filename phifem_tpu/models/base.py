@@ -126,13 +126,19 @@ class SchemeBase:
         cut-cell couplings are handled by the interface solve, so setup is
         seconds instead of minutes and the cycle runs as fused 2D slice
         arithmetic."""
+        from ..assembly import Batch
         from ..mg import (
             LatticeBulkVCycle,
             Level,
             _masked_matvec,
             attach_interface_solve,
         )
-        from ..ops.lattice import build_lattice_mg, vertex_stencil_weights
+        from ..ops.lattice import (
+            block_vertex_stencil_weights,
+            build_lattice_block_mg,
+            build_lattice_mg,
+            vertex_stencil_weights,
+        )
         from ..ops.stencil import _QUAD_OFFS, _TRI_OFFS, StencilCellBatch
         from ..solvers import masked_operator
 
@@ -157,30 +163,66 @@ class SchemeBase:
         matvec, inv_diag, active = _masked_matvec(self.op, bcs, dtype)
         g = self.grid
         offs = _TRI_OFFS if g.is_simplex else (_QUAD_OFFS,)
-        ws: Dict[str, np.ndarray] = {}
+        ws: Dict[str, np.ndarray] = {}  # scalar P1: (3, 3) vertex stencils
+        wsb: Dict[str, np.ndarray] = {}  # vector/tensor P1: (3,3,v,v) blocks
         for b in self.op.batches:
             if isinstance(b, StencilCellBatch):
                 w = vertex_stencil_weights(np.asarray(b.matrices), offs)
                 ws[b.field] = ws.get(b.field, 0.0) + w
+                continue
+            # geometry-uniform single-field vector/tensor P1 cell batch
+            # (e.g. the S5 elasticity bulk): aggregate its (vsz x vsz)
+            # block vertex stencil for a LatticeBlockMG bulk cycle
+            if (
+                isinstance(b, Batch)
+                and b.orient is not None
+                and getattr(b, "rebuild", None) is None
+                and len(b.segments) == 1
+            ):
+                name, dofs, vs = b.segments[0]
+                sp = self.op.system.fields[name]
+                if (
+                    vs
+                    and sp.element.family == "Lagrange"
+                    and sp.degree == 1
+                    and dofs.shape[1] == (3 if g.is_simplex else 4)
+                ):
+                    wb = block_vertex_stencil_weights(
+                        np.asarray(b.matrices), offs, sp.value_size
+                    )
+                    wsb[name] = wsb.get(name, 0.0) + wb
         # interface (h^-3 penalty) DoFs are excluded from the Laplacian
         # bulk cycle — corrections there come from the block solve only
         from ..mg import data_dependent_selection
 
         _, _, active_full = masked_operator(self.op, bcs)
         sel = data_dependent_selection(self.op, active_full)
-        bulk_np = {
-            f: np.asarray(active_full[f]).reshape(-1) & ~sel[f].reshape(-1)
-            for f in ws
-        }
         R, C = g.ny + 1, g.nx + 1
-        mgs = {
-            f: build_lattice_mg(
-                g.nx, g.ny, w, min_n=min_n, dtype=dtype,
-                mask=bulk_np[f].reshape(R, C),
+        all_fields = list(ws) + list(wsb)
+        bulk_np = {}
+        vertex_np = {}
+        for f in all_fields:
+            vsz = self.op.system.fields[f].value_size
+            act = np.broadcast_to(
+                np.asarray(active_full[f]),
+                self.op.system.fields[f].dof_shape,
+            ).reshape(-1, vsz)
+            m = act & ~np.asarray(sel[f]).reshape(-1, vsz)
+            bulk_np[f] = m.reshape(self.op.system.fields[f].dof_shape)
+            # the MG's per-vertex mask: bulk iff ALL components are bulk
+            vertex_np[f] = m.all(axis=1).reshape(R, C)
+        mgs = {}
+        for f, w in ws.items():
+            mgs[f] = build_lattice_mg(
+                g.nx, g.ny, w, min_n=min_n, dtype=dtype, mask=vertex_np[f]
             )
-            for f, w in ws.items()
-        }
-        shapes = {f: (R, C) for f in ws}
+        for f, wb in wsb.items():
+            if not vertex_np[f].any():
+                continue  # no bulk DoFs (cut-only field): Jacobi fallback
+            mgs[f] = build_lattice_block_mg(
+                g.nx, g.ny, wb, min_n=min_n, dtype=dtype, mask=vertex_np[f]
+            )
+        shapes = {f: (R, C) for f in all_fields}
         lvl = Level(g, matvec, inv_diag, active)
         bulk_masks = {f: jnp.asarray(m) for f, m in bulk_np.items()}
         vc = LatticeBulkVCycle(

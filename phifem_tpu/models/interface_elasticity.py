@@ -226,7 +226,37 @@ class InterfaceElasticity(SchemeBase):
         )
         return self
 
+    def rigid_modes(self) -> tuple:
+        """The system's exact null space: COLLECTIVE rigid-body motions of
+        (u_in, u_out).  Neither displacement block carries a grounding BC
+        (the Dirichlet rows on u_in sit on outer-box DoFs outside every
+        active term's support — same in the reference, which is why it
+        configures MUMPS null-pivot handling, main.py:251-254), and an
+        equal rigid motion of both blocks has zero strain, zero penalty
+        jump (su = u_in - u_out + p phi/h with p = 0) and zero flux."""
+        modes = []
+        for fn in (
+            lambda x: jnp.stack(
+                [jnp.ones(x.shape[:-1]), jnp.zeros(x.shape[:-1])], axis=-1
+            ),
+            lambda x: jnp.stack(
+                [jnp.zeros(x.shape[:-1]), jnp.ones(x.shape[:-1])], axis=-1
+            ),
+            lambda x: jnp.stack([-x[..., 1], x[..., 0]], axis=-1),
+        ):
+            w = interpolate(fn, self.U).data
+            m = {
+                n: jnp.zeros(sp.dof_shape, w.dtype)
+                for n, sp in self.system.fields.items()
+            }
+            m["u_in"] = w
+            m["u_out"] = w
+            modes.append(m)
+        return tuple(modes)
+
     def solve(self, method: str = "bicgstab", tol: float = 1e-10, **kw) -> SolveResult:
+        if method != "dense" and "deflate" not in kw:
+            kw["deflate"] = self.rigid_modes()
         res = solve(self.op, self.b, bcs=self.bcs, method=method, tol=tol, **kw)
         self.result = res
         u_in = res.x["u_in"]

@@ -268,12 +268,24 @@ def solve(
     maxiter: Optional[int] = None,
     x0: Optional[Dict[str, Array]] = None,
     precond: Optional[Callable] = None,
+    deflate: Optional[Tuple[Dict[str, Array], ...]] = None,
 ) -> SolveResult:
     """Solve ``A x = b`` with preconditioned Krylov iterations (or a dense
     LU fallback with ``method="dense"`` for small/tests).
 
     ``precond`` overrides the default Jacobi preconditioner (e.g. a
-    :class:`phifem_tpu.mg.VCycle`)."""
+    :class:`phifem_tpu.mg.VCycle`).
+
+    ``deflate`` optionally supplies pytree vectors spanning a KNOWN null
+    space of the reduced operator (e.g. the collective rigid-body modes of
+    the S5 interface-elasticity system, whose singularity the reference
+    hands to MUMPS icntl 24/25 — ``demo/interface-elasticity/main.py:251-254``).
+    The Krylov iteration then runs on the deflated operator P A P + Q Q^T
+    (P the orthogonal projector off the null basis), which is the iterative
+    analogue of the null-pivot LU: the returned solution has zero component
+    along the null basis, and the reported residual is the deflated one
+    (the raw residual stalls at the RHS's inconsistency level — a
+    discretization-consistency term, not a solver failure)."""
     if method == "dense":
         matvec, diag, active = masked_operator(op, bcs)
         b = lift_rhs(op, b, bcs, active)
@@ -311,6 +323,7 @@ def solve(
         id(precond),
         getattr(precond, "_version", 0),
         tuple(id(bc) for bc in bcs),
+        len(deflate) if deflate else 0,
     )
     cache = getattr(op, "_solve_cache", None)
     if cache is None:
@@ -319,7 +332,7 @@ def solve(
     if _run is None:
 
         @jax.jit
-        def _run(b, x0, dyn):
+        def _run(b, x0, dyn, defl):
             # x0/dyn are ARGUMENTS (jax.jit retraces per structure), not
             # closures — callers may pass x0 or not, and dyn carries the
             # data-dependent weights/matrices across reassembles
@@ -354,11 +367,47 @@ def solve(
             else:
                 M = lambda r: r  # scaled system has unit diagonal
 
+            ortho = []
+            if defl:
+                # equilibrated null basis: null(D^-1/2 A D^-1/2) = D^1/2 v;
+                # masked to active DoFs, then Gram-Schmidt (full precision —
+                # the projection accuracy caps achievable convergence)
+                for v in defl:
+                    q = jax.tree.map(
+                        lambda vi, m, di: jnp.where(m, vi, 0.0) * di,
+                        v, active, dsqrt,
+                    )
+                    for o in ortho:
+                        q = tree_axpy(-tree_dot(o, q), o, q)
+                    nrm = jnp.sqrt(tree_dot(q, q))
+                    q = jax.tree.map(
+                        lambda qi: qi / jnp.maximum(nrm, 1e-300), q
+                    )
+                    ortho.append(q)
+
+                def _proj(v):
+                    for o in ortho:
+                        v = tree_axpy(-tree_dot(o, v), o, v)
+                    return v
+
+                mv_plain, M_plain = mv_eq, M
+
+                def mv_eq(y):
+                    z = _proj(mv_plain(_proj(y)))
+                    for o in ortho:  # identity on the deflated span
+                        z = tree_axpy(tree_dot(o, y), o, z)
+                    return z
+
+                M = lambda r: _proj(M_plain(_proj(r)))
+                b_eq = _proj(b_eq)
+
             x0_eq = (
                 jax.tree.map(jnp.zeros_like, b_eq)
                 if x0 is None
                 else jax.tree.map(lambda xi, di: xi * di, x0, dsqrt)
             )
+            if ortho and x0 is not None:
+                x0_eq = _proj(x0_eq)
             if method == "gmres":
                 x, _ = jax.scipy.sparse.linalg.gmres(
                     mv_eq, b_eq, x0=x0_eq, tol=tol, atol=atol, maxiter=maxiter,
@@ -373,6 +422,8 @@ def solve(
             r = jax.tree.map(lambda bi, ai: bi - ai, b_eq, mv_eq(x))
             rnorm = jnp.sqrt(tree_dot(r, r))
             bnorm = jnp.sqrt(tree_dot(b_eq, b_eq))
+            if ortho:
+                x = _proj(x)  # zero-null-component gauge (MUMPS icntl 25=0)
             # undo the equilibration change of variables: x = D^-1/2 y
             x = jax.tree.map(lambda yi, di: yi * di, x, dinv_sqrt)
             # pack (relres, iters) so ONE value fetch syncs the whole solve
@@ -382,7 +433,7 @@ def solve(
 
         cache[cache_key] = _run
 
-    x, stats = _run(b, x0, dyn_args)
+    x, stats = _run(b, x0, dyn_args, deflate)
     stats = np.asarray(stats)
     rel, iters = float(stats[0]), int(stats[1])
     return SolveResult(

@@ -160,3 +160,119 @@ def test_scheme_lattice_preconditioner_schwarz_band():
     assert vc.band_ell_vals is not None  # Schwarz path chosen
     r = s.solve(method="bicgstab", tol=1e-8, maxiter=60, precond=vc)
     assert r.converged, r.residual
+
+
+def test_block_mg_matches_scalar_on_uncoupled_channels():
+    """LatticeBlockMG with a block stencil whose (vsz, vsz) blocks are
+    diagonal must act channelwise exactly like the scalar LatticeMG (the
+    vector generalization is then pinned to the proven scalar cycle)."""
+    from phifem_tpu.assembly import CellTerm, System, assemble_operator
+    from phifem_tpu.ops.lattice import (
+        block_vertex_stencil_weights,
+        build_lattice_block_mg,
+        build_lattice_mg,
+        vertex_stencil_weights,
+    )
+    from phifem_tpu.ops.stencil import _TRI_OFFS, StencilCellBatch
+    from phifem_tpu.spaces import Space
+
+    n = 32
+    g = pf.Grid(n, n, ((0.0, 0.0), (1.0, 1.0)), pf.CellType.triangle)
+    lap = lambda u, v, d, x, ctx: jnp.sum(u["u"].grad * v["u"].grad)
+    op_s = assemble_operator(
+        System({"u": Space.lagrange(g, 1)}), g,
+        cell_terms=[(CellTerm(lap, None, degree=2, uniform=True), {})],
+    )
+    ws = sum(
+        vertex_stencil_weights(np.asarray(b.matrices), _TRI_OFFS)
+        for b in op_s.batches
+        if isinstance(b, StencilCellBatch)
+    )
+    op_v = assemble_operator(
+        System({"u": Space.lagrange(g, 1, (2,))}), g,
+        cell_terms=[(CellTerm(lap, None, degree=2, uniform=True), {})],
+    )
+    wb = sum(
+        block_vertex_stencil_weights(np.asarray(b.matrices), _TRI_OFFS, 2)
+        for b in op_v.batches
+    )
+    assert np.allclose(wb[:, :, 0, 0], ws) and np.abs(wb[:, :, 0, 1]).max() == 0.0
+    mg_s = build_lattice_mg(n, n, ws, min_n=8, dtype=jnp.float64)
+    mg_b = build_lattice_block_mg(n, n, wb, min_n=8, dtype=jnp.float64)
+    R = C = n + 1
+    r = np.random.default_rng(0).standard_normal((R, C))
+    zs = mg_s(jnp.zeros((R + 2, C + 2)).at[1:1 + R, 1:1 + C].set(r))
+    rp = (
+        jnp.zeros((2, R + 2, C + 2))
+        .at[0, 1:1 + R, 1:1 + C].set(r)
+        .at[1, 1:1 + R, 1:1 + C].set(2 * r)
+    )
+    zb = mg_b(rp)
+    assert float(jnp.abs(zb[0] - zs).max()) < 1e-12
+    assert float(jnp.abs(zb[1] - 2 * zs).max()) < 1e-12
+
+
+def test_block_mg_elasticity_cg():
+    """MG-preconditioned CG on a full-box vector-P1 elasticity operator
+    (Dirichlet ring) converges fast — the S5 bulk cycle in isolation."""
+    from phifem_tpu.assembly import CellTerm, System, assemble_operator
+    from phifem_tpu.models.interface_elasticity import _eps, _sigma, lame
+    from phifem_tpu.ops.lattice import (
+        block_vertex_stencil_weights,
+        build_lattice_block_mg,
+    )
+    from phifem_tpu.ops.stencil import _TRI_OFFS
+    from phifem_tpu.spaces import Space
+
+    n = 48
+    g = pf.Grid(n, n, ((0.0, 0.0), (1.0, 1.0)), pf.CellType.triangle)
+    li, mi = lame(1.0, 0.3)
+    stiff = lambda u, v, d, x, ctx: jnp.sum(
+        _sigma(u["u"].grad, li, mi) * _eps(v["u"].grad)
+    )
+    op = assemble_operator(
+        System({"u": Space.lagrange(g, 1, (2,))}), g,
+        cell_terms=[(CellTerm(stiff, None, degree=2, uniform=True), {})],
+    )
+    wb = sum(
+        block_vertex_stencil_weights(np.asarray(b.matrices), _TRI_OFFS, 2)
+        for b in op.batches
+    )
+    mask = np.zeros((n + 1, n + 1), bool)
+    mask[1:-1, 1:-1] = True
+    mg = build_lattice_block_mg(n, n, wb, min_n=8, dtype=jnp.float64, mask=mask)
+    R = C = n + 1
+    mj = jnp.asarray(mask)
+    xstar = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, R, C))
+    ) * mj
+
+    def A(x3):
+        xf = jnp.moveaxis(x3, 0, -1).reshape(-1, 2)
+        y = op.batches[0].matvec_into({"u": xf}, {"u": jnp.zeros_like(xf)})
+        return jnp.moveaxis(y["u"].reshape(R, C, 2), -1, 0) * mj
+
+    def Minv(r):
+        rp = jnp.zeros((2, R + 2, C + 2)).at[:, 1:1 + R, 1:1 + C].set(r * mj)
+        return mg(rp)[:, 1:1 + R, 1:1 + C] * mj
+
+    b = A(xstar)
+    x = jnp.zeros_like(b)
+    r = b
+    z = Minv(r)
+    p = z
+    rz = jnp.sum(r * z)
+    b2 = jnp.sum(b * b)
+    for it in range(40):
+        Ap = A(p)
+        alpha = rz / jnp.sum(p * Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        if float(jnp.sum(r * r) / b2) ** 0.5 < 1e-10:
+            break
+        z = Minv(r)
+        rz_new = jnp.sum(r * z)
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+    assert it < 39, float(jnp.sum(r * r) / b2) ** 0.5
+    assert float(jnp.abs(x - xstar).max()) < 1e-8

@@ -243,3 +243,28 @@ def test_weak_dirichlet_p2_convergence():
     # P1 rate (4x) to catch degree regressions
     assert errs[0] / errs[1] > 6.0, errs
     assert errs[1] < 2e-4, errs
+
+
+def test_interface_elasticity_deflated_krylov():
+    """S5's system is exactly singular (collective rigid-body modes of
+    (u_in, u_out) — the reference hands this to MUMPS icntl 24/25,
+    demo/interface-elasticity/main.py:251-254).  The iterative analogue:
+    rigid-mode deflation (InterfaceElasticity.rigid_modes) + the block
+    lattice-MG preconditioner must converge in few outer iterations and
+    reproduce the dense null-pivot solution's errors."""
+    n = 16
+    g = pf.Grid(n, n, ((-1.5, -1.5), (1.5, 1.5)), "triangle")
+    s = InterfaceElasticity(g, mode="bg", E_in=E_IN, E_out=E_OUT)
+    s.setup(phi_iface, source_elastic, exact_elastic)
+    s.assemble()
+    vc = s.lattice_preconditioner(min_n=8)
+    r = s.solve(method="bicgstab", tol=1e-10, maxiter=60, precond=vc)
+    assert r.converged, r.residual
+    assert 0 <= r.iterations <= 40, r.iterations
+    e_it = s.l2_h1_errors(s.u_h, exact_elastic, region=None)
+    s.solve(method="dense")
+    e_d = s.l2_h1_errors(s.u_h, exact_elastic, region=None)
+    # different null-space gauges (deflation zeroes rigid content; lstsq
+    # minimizes norm) — scheme errors must agree to consistency level
+    assert abs(e_it["l2"] - e_d["l2"]) / e_d["l2"] < 0.05, (e_it, e_d)
+    assert abs(e_it["h10"] - e_d["h10"]) / e_d["h10"] < 0.05, (e_it, e_d)
