@@ -18,7 +18,8 @@ Krylov stalls near 1e-4 on penalized phi-FEM systems; the V-cycle
 preconditioner runs float32 so the Pallas stencil is live on that path too.
 
 Env knobs: PHIFEM_POISSON_N (default 3200), PHIFEM_BENCH_N (S1 grid, 200),
-PHIFEM_BENCH_SKIP_S1 / PHIFEM_BENCH_SKIP_POISSON to skip a section.
+PHIFEM_BENCH_S5_N (S5 grid, 128), PHIFEM_BENCH_ASM_N (large reassemble,
+3200); PHIFEM_BENCH_SKIP_{S1,POISSON,S5,ASM}=1 to skip a section.
 """
 
 import json
@@ -31,6 +32,19 @@ os.environ.setdefault("PHIFEM_X64", "1")
 
 import jax
 import jax.numpy as jnp
+
+
+def _demo_data(*rel):
+    """Load a demo's data.py under a unique module name (the demo dirs all
+    call it `data`, so plain `import data` collides across sections)."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(__file__), "demo", *rel, "data.py")
+    name = "phifem_bench_data_" + "_".join(rel).replace("-", "_")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _t(fn, *args, **kw):
@@ -106,10 +120,10 @@ def bench_s1_pipeline(n: int) -> dict:
     tol = float(os.environ.get("PHIFEM_BENCH_TOL", "1e-8"))
     grid = pf.Grid(n, n, ((-4.5, -4.5), (4.5, 4.5)), pf.CellType.triangle)
 
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(__file__), "demo", "weak-dirichlet", "flower")
+    D = _demo_data("weak-dirichlet", "flower")
+    detection_levelset, levelset, source_term = (
+        D.detection_levelset, D.levelset, D.source_term
     )
-    from data import detection_levelset, levelset, source_term
 
     s = WeakDirichletPoisson(grid, mode="bg", detection_degree=1, single_layer_cut=True)
 
@@ -230,6 +244,96 @@ def bench_s1_pipeline(n: int) -> dict:
     }
 
 
+def bench_s5(n: int) -> dict:
+    """S5 interface elasticity (reference param1 problem): warm deflated
+    BiCGStab + block-lattice-MG/interface preconditioner (the reference's
+    only profiled solve is MUMPS LU, demo/interface-elasticity/main.py:237-288
+    — it has no iterative path at all for this singular system)."""
+    import phifem_tpu as pf
+    from phifem_tpu.models import InterfaceElasticity
+
+    D = _demo_data("interface-elasticity")
+    E_in, E_out, nu_in, nu_out = D.E_in, D.E_out, D.nu_in, D.nu_out
+    exact_solution, levelset, source_term = (
+        D.exact_solution, D.levelset, D.source_term
+    )
+
+    grid = pf.Grid(n, n, ((-1.5, -1.5), (1.5, 1.5)), pf.CellType.triangle)
+    s = InterfaceElasticity(
+        grid, mode="bg", E_in=E_in, nu_in=nu_in, E_out=E_out, nu_out=nu_out
+    )
+    t0 = time.perf_counter()
+    s.setup(levelset, source_term, exact_solution)
+    s.assemble()
+    _fetch(s.b["u_in"])
+    t_setup = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    vc = s.lattice_preconditioner()
+    t_mg = time.perf_counter() - t0
+
+    tol = float(os.environ.get("PHIFEM_BENCH_TOL", "1e-8"))
+    r0, t_cold = _t(s.solve, method="bicgstab", tol=tol, maxiter=400, precond=vc)
+    r, t_solve = _t(s.solve, method="bicgstab", tol=tol, maxiter=400, precond=vc)
+    ndofs = s.system.num_dofs
+    return {
+        "ndofs": ndofs,
+        "n": n,
+        "solve_s": round(t_solve, 4),
+        "cold_solve_s": round(t_cold, 2),
+        "setup_assemble_s": round(t_setup, 2),
+        "mg_setup_s": round(t_mg, 2),
+        "iterations": int(r.iterations),
+        "residual": f"{r.residual:.2e}",
+        "converged": bool(r.converged),
+        "mdofs_per_s": round(ndofs / t_solve / 1e6, 3),
+    }
+
+
+def bench_reassemble_large(n: int) -> dict:
+    """Measured (not extrapolated) stabilized-assembly rate at the 10M-DoF
+    scale: all data-dependent cut/ghost/boundary element-matrix rebuilds of
+    the S1 flower operator at n x n as ONE jitted call, fetch-synced."""
+    import phifem_tpu as pf
+    from phifem_tpu.models import WeakDirichletPoisson
+
+    D = _demo_data("weak-dirichlet", "flower")
+    detection_levelset, levelset, source_term = (
+        D.detection_levelset, D.levelset, D.source_term
+    )
+
+    grid = pf.Grid(n, n, ((-4.5, -4.5), (4.5, 4.5)), pf.CellType.triangle)
+    s = WeakDirichletPoisson(grid, mode="bg", detection_degree=1, single_layer_cut=True)
+    t0 = time.perf_counter()
+    s.setup(levelset, source_term, detection_levelset=detection_levelset)
+    s.assemble()
+    _fetch(s.b["u"])
+    t_cold = time.perf_counter() - t0
+
+    def reasm():
+        s.op.reassemble()
+        _fetch(
+            *(
+                b.matrices
+                for b in s.op.batches
+                if getattr(b, "rebuild", None) is not None
+            )
+        )
+
+    reasm()  # compile
+    t0 = time.perf_counter()
+    reasm()
+    t_reasm = time.perf_counter() - t0
+    ndofs = s.system.num_dofs
+    return {
+        "ndofs": ndofs,
+        "n": n,
+        "reassemble_s": round(t_reasm, 4),
+        "cold_setup_s": round(t_cold, 2),
+        "mdofs_per_s": round(ndofs / t_reasm / 1e6, 2),
+    }
+
+
 def main():
     extra = {
         "device": str(jax.devices()[0]),
@@ -243,6 +347,20 @@ def main():
             extra["s1"] = s1
         except Exception:
             extra["s1_error"] = traceback.format_exc()[-1500:]
+
+    if os.environ.get("PHIFEM_BENCH_SKIP_S5") != "1":
+        try:
+            extra["s5"] = bench_s5(int(os.environ.get("PHIFEM_BENCH_S5_N", "128")))
+        except Exception:
+            extra["s5_error"] = traceback.format_exc()[-1500:]
+
+    if os.environ.get("PHIFEM_BENCH_SKIP_ASM") != "1":
+        try:
+            extra["reassemble_large"] = bench_reassemble_large(
+                int(os.environ.get("PHIFEM_BENCH_ASM_N", "3200"))
+            )
+        except Exception:
+            extra["reassemble_large_error"] = traceback.format_exc()[-1500:]
 
     poisson = None
     if os.environ.get("PHIFEM_BENCH_SKIP_POISSON") != "1":

@@ -30,6 +30,13 @@ def main():
     parser.add_argument("parameters", type=str,
                         help="Name of parameters file (without yaml extension).")
     parser.add_argument("--solver", type=str, default="bicgstab")
+    parser.add_argument(
+        "--precond", type=str, default="lattice", choices=("none", "lattice"),
+        help="lattice: block lattice-MG bulk + cut-band interface solve "
+        "(rigid-mode deflated Krylov); none: Jacobi only",
+    )
+    parser.add_argument("--tol", type=float, default=1e-10)
+    parser.add_argument("--maxiter", type=int, default=2000)
     args = parser.parse_args()
 
     pdir = os.path.dirname(__file__)
@@ -59,8 +66,16 @@ def main():
             scheme.setup(levelset, source_term, exact_solution)
             scheme.assemble()
         with timer.phase(f"solve_{i}"):
-            res = scheme.solve(method=args.solver)
-        print(f"[level {i}] residual {res.residual:.2e} converged={res.converged}")
+            kw = {}
+            if args.solver != "dense":
+                kw = dict(tol=args.tol, maxiter=args.maxiter)
+                if args.precond == "lattice":
+                    kw["precond"] = scheme.lattice_preconditioner()
+            res = scheme.solve(method=args.solver, **kw)
+        print(
+            f"[level {i}] iters {res.iterations} "
+            f"residual {res.residual:.2e} converged={res.converged}"
+        )
 
         errs = scheme.l2_h1_errors(scheme.u_h, exact_solution, region=None)
         results["dof"].append(scheme.U.num_dofs)

@@ -468,6 +468,7 @@ def attach_interface_solve(
     dense_max: int = 4000,
     sweeps: Optional[int] = None,
     kind: str = "auto",
+    sweeps_coef: float = 0.2,
 ) -> VCycle:
     """Equip a V-cycle with a solve on the data-dependent DoF block (all
     DoFs touched by cut-cell penalty / ghost-facet / boundary batches).
@@ -552,9 +553,11 @@ def attach_interface_solve(
     vc.schwarz_inv = jnp.asarray(inv)
     vc.schwarz_own = jnp.asarray(own)
     # inner-iteration demand grows slowly with band size (measured: 10 at
-    # m~3k, 20 at m~12k) — scale ~sqrt(m) unless the caller pins it
+    # m~3k, 20 at m~12k for the S1 scalar block) — scale ~sqrt(m) unless
+    # the caller pins it; harder cut blocks (S5's contrast-weighted
+    # 5-field penalty) need a larger coefficient (0.6 measured at n=64)
     vc.schwarz_sweeps = (
-        sweeps if sweeps is not None else max(10, int(0.2 * total**0.5))
+        sweeps if sweeps is not None else max(10, int(sweeps_coef * total**0.5))
     )
     # the band matrix itself in ELL layout for the inner device solve
     A = A_csr.tocsr()

@@ -234,6 +234,9 @@ class SchemeBase:
             bulk_masks=bulk_masks,
         )
         if interface:
+            interface_kw.setdefault(
+                "sweeps_coef", getattr(self, "_iface_sweeps_coef", 0.2)
+            )
             vc = attach_interface_solve(vc, self.op, active_full, **interface_kw)
         cache[key] = vc
         return vc

@@ -70,6 +70,10 @@ def dof_mask_from_cells(space: Space, cells: np.ndarray) -> jnp.ndarray:
 
 @dataclasses.dataclass
 class InterfaceElasticity(SchemeBase):
+    # the 5-field contrast-weighted cut block needs more inner band-solve
+    # iterations than S1's scalar one (see mg.attach_interface_solve)
+    _iface_sweeps_coef = 0.6
+
     primal_degree: int = 1
     flux_degree: int = 1
     auxiliary_degree: int = 1
