@@ -34,6 +34,7 @@ if _os.environ.get("PHIFEM_CACHE", "1") == "1":
     _config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 from .grid import CellType, Grid
+from .grid3 import Grid3
 from .elements import dg0_element, lagrange_element
 from .spaces import Function, Space, interpolate
 from .tagging import EntityTags, TagsMeasures, compute_tags_measures, tag_cells, tag_facets
@@ -44,6 +45,7 @@ __version__ = "0.1.0"
 __all__ = [
     "CellType",
     "Grid",
+    "Grid3",
     "Space",
     "Function",
     "interpolate",

@@ -17,6 +17,7 @@ from .neumann import NeumannPoisson
 from .robin import RobinPoisson
 from .interface_elasticity import InterfaceElasticity
 from .poisson import BoxPoisson
+from .poisson3 import BoxPoisson3
 
 __all__ = [
     "WeakDirichletPoisson",
@@ -25,4 +26,5 @@ __all__ = [
     "RobinPoisson",
     "InterfaceElasticity",
     "BoxPoisson",
+    "BoxPoisson3",
 ]
