@@ -18,6 +18,7 @@ from .robin import RobinPoisson
 from .interface_elasticity import InterfaceElasticity
 from .poisson import BoxPoisson
 from .poisson3 import BoxPoisson3
+from .weak_dirichlet3 import WeakDirichletPoisson3
 
 __all__ = [
     "WeakDirichletPoisson",
@@ -27,4 +28,5 @@ __all__ = [
     "InterfaceElasticity",
     "BoxPoisson",
     "BoxPoisson3",
+    "WeakDirichletPoisson3",
 ]

@@ -1,0 +1,682 @@
+"""3D weak (dual-penalty) Dirichlet phi-FEM Poisson on the hex lattice.
+
+The z-axis extension of S1 (:mod:`phifem_tpu.models.weak_dirichlet`; the
+reference, `demo/weak-dirichlet/flower/main.py:102-154`, is 2D-only).
+Same variational scheme on Q1 hexahedra:
+
+  a(u,p; v,q) = int_{dx(1,2)} grad u . grad v
+              - int_{Gamma_h} (grad u . n) v            (one-sided faces)
+              + pen/h^2 int_{dx(2)} (u - phi p / h)(v - phi q / h)
+              + stab int_{ghost faces} h [grad u . n][grad v . n]
+
+  L(v,q)      = int_{dx(1,2)} f v
+              + pen/h^2 int_{dx(2)} u_D (v - phi q / h)
+
+(The 2D cell-stabilization h^2 (Δu)(Δv) vanishes identically for Q1 —
+trilinear functions have zero Laplacian cellwise, exactly as P1 does in
+2D — so it is dropped rather than assembled as zeros.)
+
+TPU-native structure (no generic FEM assembly in 3D): the bulk stiffness
+is a cell-masked uniform 8-node stencil (64 shifted multiply-adds); ghost
+and Gamma_h face matrices are STATIC per axis orientation (axis-aligned
+faces of a uniform lattice — one (16,16) resp. (8,8) host-side matrix per
+orientation, applied as batched matmuls over face index lists); only the
+penalty's u-p / p-p blocks and its RHS depend on data (phi), computed as
+batched quadrature einsums over the cut-cell list.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid3 import Grid3
+from ..solvers import SolveResult, _pbicgstab, _pcg
+from ..tagging3 import Tags3, compute_tags3
+
+Array = jnp.ndarray
+
+_HEX_OFFS = tuple(
+    (dx, dy, dz) for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+)
+
+
+def _float_dtype():
+    from jax import config
+
+    return jnp.float64 if config.jax_enable_x64 else jnp.float32
+
+
+def _gauss01(n: int):
+    """n-point Gauss nodes/weights on [0, 1] (weights sum to 1)."""
+    x, w = np.polynomial.legendre.leggauss(n)
+    return 0.5 * (x + 1.0), 0.5 * w
+
+
+def _shape(xi: np.ndarray):
+    """Trilinear values (8,) and reference gradients (8, 3) at xi in
+    [0,1]^3 (node order = _HEX_OFFS)."""
+    vals = np.empty(8)
+    grads = np.empty((8, 3))
+    for i, (dx, dy, dz) in enumerate(_HEX_OFFS):
+        f = np.array(
+            [
+                xi[0] if dx else 1.0 - xi[0],
+                xi[1] if dy else 1.0 - xi[1],
+                xi[2] if dz else 1.0 - xi[2],
+            ]
+        )
+        df = np.array(
+            [1.0 if dx else -1.0, 1.0 if dy else -1.0, 1.0 if dz else -1.0]
+        )
+        vals[i] = f.prod()
+        for k in range(3):
+            grads[i, k] = df[k] * np.prod(np.delete(f, k))
+    return vals, grads
+
+
+def _hex_tables(npd: int):
+    """(nq,) weights, (nq, 8) values, (nq, 8, 3) ref gradients at the
+    npd^3 tensor Gauss rule on [0,1]^3."""
+    g, w = _gauss01(npd)
+    W, V, G = [], [], []
+    for gz, wz in zip(g, w):
+        for gy, wy in zip(g, w):
+            for gx, wx in zip(g, w):
+                vals, grads = _shape(np.array([gx, gy, gz]))
+                W.append(wx * wy * wz)
+                V.append(vals)
+                G.append(grads)
+    return np.asarray(W), np.asarray(V), np.asarray(G)
+
+
+def _face_tables(ax_lat: int, at_upper: bool, npd: int = 2):
+    """Quadrature tables on the hex face normal to lattice axis ``ax_lat``
+    (0=z, 1=y, 2=x): (nq,) weights, (nq, 8) values, (nq, 8, 3) ref grads,
+    evaluated at xi_k = 1 (upper face) or 0."""
+    k_phys = {0: 2, 1: 1, 2: 0}[ax_lat]  # lattice z/y/x -> coord index
+    g, w = _gauss01(npd)
+    W, V, G = [], [], []
+    for ga, wa in zip(g, w):
+        for gb, wb in zip(g, w):
+            xi = np.empty(3)
+            xi[k_phys] = 1.0 if at_upper else 0.0
+            t = [i for i in range(3) if i != k_phys]
+            xi[t[0]], xi[t[1]] = ga, gb
+            vals, grads = _shape(xi)
+            W.append(wa * wb)
+            V.append(vals)
+            G.append(grads)
+    return np.asarray(W), np.asarray(V), np.asarray(G), k_phys
+
+
+@dataclasses.dataclass
+class WeakDirichletPoisson3:
+    """3D phi-FEM weak-Dirichlet Poisson: -Δu = f in {phi<0}, u = u_D on
+    {phi=0}, immersed in a structured hex box grid."""
+
+    grid: Grid3
+    pen_coef: float = 1.0
+    stab_coef: float = 1.0
+
+    # ------------------------------------------------------------ setup
+    def setup(
+        self,
+        levelset: Callable,
+        f: Callable,
+        u_D: Optional[Callable] = None,
+    ):
+        g = self.grid
+        dt = _float_dtype()
+        self.tags: Tags3 = compute_tags3(g, levelset)
+        self.phi_lat = g.eval_at_vertices(levelset, dt)
+        self.f_lat = g.eval_at_vertices(f, dt)
+        if u_D is None:
+            u_D = lambda x: jnp.zeros(x.shape[:-1])
+        self.uD_lat = g.eval_at_vertices(u_D, dt)
+        return self
+
+    # ------------------------------------------------- assembly (host prep)
+    def assemble(self):
+        g = self.grid
+        dt = _float_dtype()
+        hx, hy, hz = g.spacing
+        h = float(np.sqrt(hx * hx + hy * hy + hz * hz))  # CellDiameter
+        self.h = h
+        vol = hx * hy * hz
+        pen, stab = self.pen_coef, self.stab_coef
+        D, R, C = g.lattice_shape
+        self._DRC = (D, R, C)
+        hs = np.array([hx, hy, hz])
+
+        from ..ops.lattice3 import hex_element_matrix
+
+        # bulk stiffness stencil + region mask (cells 1, 2)
+        self.A8 = jnp.asarray(hex_element_matrix(hx, hy, hz), dt)
+        self.bulk_mask = jnp.asarray(
+            self.tags.region_mask((1, 2)).astype(np.float64), dt
+        )
+
+        # ---- cut-cell penalty: data-dependent blocks
+        cells = self.tags.cut_cells()  # (ne, 3) iz, iy, ix
+        self.cut_dofs = jnp.asarray(self._cell_dofs(cells), jnp.int32)
+        W, V, _ = _hex_tables(3)  # phi^2 * N_i * N_j: degree 4 per dim
+        Vt = jnp.asarray(V, dt)
+        Wt = jnp.asarray(W, dt)
+        phi_n = jnp.asarray(self.phi_lat).reshape(-1)[self.cut_dofs]  # (ne, 8)
+        phi_q = phi_n @ Vt.T  # (ne, nq)
+        # E_uu is uniform: pen/h^2 * mass
+        self.E_uu = (pen / h**2) * vol * jnp.einsum("q,qi,qj->ij", Wt, Vt, Vt)
+        self.E_up = (-pen / h**3) * vol * jnp.einsum(
+            "nq,q,qi,qj->nij", phi_q, Wt, Vt, Vt
+        )
+        self.E_pp = (pen / h**4) * vol * jnp.einsum(
+            "nq,q,qi,qj->nij", phi_q * phi_q, Wt, Vt, Vt
+        )
+
+        # ---- ghost faces: static (16, 16) per lattice axis
+        self.ghost = []
+        for ax in range(3):
+            faces = self.tags.ghost_faces[ax]
+            if faces.shape[0] == 0:
+                continue
+            Wf, V0, G0, k = _face_tables(ax, at_upper=True)
+            _, V1, G1, _ = _face_tables(ax, at_upper=False)
+            area = vol / hs[k]
+            dn0 = G0[:, :, k] / hs[k]  # (nq, 8) d/dx_k from the lower cell
+            dn1 = G1[:, :, k] / hs[k]
+            J = np.concatenate([dn0, -dn1], axis=1)  # (nq, 16) jump basis
+            Eg = stab * h * area * np.einsum("q,qi,qj->ij", Wf, J, J)
+            upper = faces.copy()
+            upper[:, ax] += 1
+            dofs = np.concatenate(
+                [self._cell_dofs(faces), self._cell_dofs(upper)], axis=1
+            )
+            self.ghost.append(
+                (jnp.asarray(dofs, jnp.int32), jnp.asarray(Eg, dt))
+            )
+
+        # ---- Gamma_h one-sided boundary flux: static (8, 8) per (axis, sign)
+        self.bdry = []
+        self.bdry_meta = []  # (inside cells, axis, sign) for measures
+        for ax in range(3):
+            for sign, faces in zip((+1, -1), self.tags.boundary_faces[ax]):
+                if faces.shape[0] == 0:
+                    continue
+                # the inside cell's face: upper face for outward +e_k
+                Wf, Vf, Gf, k = _face_tables(ax, at_upper=(sign > 0))
+                area = vol / hs[k]
+                dn = sign * Gf[:, :, k] / hs[k]  # outward-normal derivative
+                Eb = -area * np.einsum("q,qi,qj->ij", Wf, Vf, dn)
+                self.bdry.append(
+                    (
+                        jnp.asarray(self._cell_dofs(faces), jnp.int32),
+                        jnp.asarray(Eb, dt),
+                    )
+                )
+                self.bdry_meta.append((faces, ax, sign, area))
+
+        # ---- RHS: masked bulk mass conv + penalty terms on cut cells
+        from ..ops.lattice3 import vertex_stencil_weights3
+
+        M8 = hex_element_matrix(hx, hy, hz, stiffness=0.0, mass=1.0)
+        b_u = self._masked_stencil_apply(
+            jnp.asarray(self.f_lat), jnp.asarray(M8, dt), self.bulk_mask
+        )
+        uD_n = jnp.asarray(self.uD_lat).reshape(-1)[self.cut_dofs]
+        uD_q = uD_n @ Vt.T  # (ne, nq)
+        r_u = (pen / h**2) * vol * jnp.einsum("nq,q,qi->ni", uD_q, Wt, Vt)
+        r_p = (-pen / h**3) * vol * jnp.einsum(
+            "nq,q,qi->ni", uD_q * phi_q, Wt, Vt
+        )
+        N = D * R * C
+        b_u = b_u.reshape(-1).at[self.cut_dofs.reshape(-1)].add(r_u.reshape(-1))
+        b_p = jnp.zeros(N, dt).at[self.cut_dofs.reshape(-1)].add(r_p.reshape(-1))
+        self.b = {"u": b_u, "p": b_p}
+
+        # ---- diagonal / active masks
+        diag_u = self._masked_stencil_diag(self.A8, self.bulk_mask).reshape(-1)
+        diag_u = diag_u.at[self.cut_dofs.reshape(-1)].add(
+            jnp.broadcast_to(
+                jnp.diag(self.E_uu), self.cut_dofs.shape
+            ).reshape(-1)
+        )
+        for dofs, Eg in self.ghost:
+            diag_u = diag_u.at[dofs.reshape(-1)].add(
+                jnp.broadcast_to(jnp.diag(Eg), dofs.shape).reshape(-1)
+            )
+        for dofs, Eb in self.bdry:
+            diag_u = diag_u.at[dofs.reshape(-1)].add(
+                jnp.broadcast_to(jnp.diag(Eb), dofs.shape).reshape(-1)
+            )
+        diag_p = jnp.zeros(N, dt).at[self.cut_dofs.reshape(-1)].add(
+            jax.vmap(jnp.diag)(self.E_pp).reshape(-1)
+        )
+        active = {"u": diag_u != 0.0, "p": diag_p != 0.0}
+        diag = {
+            "u": jnp.where(active["u"], diag_u, 1.0),
+            "p": jnp.where(active["p"], diag_p, 1.0),
+        }
+        self.diag, self.active = diag, active
+        return self
+
+    def _cell_dofs(self, cells: np.ndarray) -> np.ndarray:
+        """(ne, 8) int flat vertex indices of cells (ne, 3) = (iz, iy, ix)."""
+        D, R, C = self.grid.lattice_shape
+        out = np.empty((cells.shape[0], 8), np.int64)
+        for i, (dx, dy, dz) in enumerate(_HEX_OFFS):
+            out[:, i] = (
+                (cells[:, 0] + dz) * R + cells[:, 1] + dy
+            ) * C + cells[:, 2] + dx
+        return out
+
+    # --------------------------------------------- lattice stencil pieces
+    def _masked_stencil_apply(self, X: Array, A8: Array, mask: Array) -> Array:
+        """y[v_i] += mask_cell * sum_j A8[i,j] x[v_j] over all cells."""
+        nz, ny, nx = mask.shape
+        Y = jnp.zeros_like(X)
+        xl = [
+            X[dz : dz + nz, dy : dy + ny, dx : dx + nx]
+            for (dx, dy, dz) in _HEX_OFFS
+        ]
+        for i, (dxi, dyi, dzi) in enumerate(_HEX_OFFS):
+            zi = sum(A8[i, j] * xl[j] for j in range(8))
+            Y = Y.at[dzi : dzi + nz, dyi : dyi + ny, dxi : dxi + nx].add(
+                mask * zi
+            )
+        return Y
+
+    def _masked_stencil_diag(self, A8: Array, mask: Array) -> Array:
+        nz, ny, nx = mask.shape
+        D, R, C = self._DRC
+        Dg = jnp.zeros((D, R, C), mask.dtype)
+        for i, (dxi, dyi, dzi) in enumerate(_HEX_OFFS):
+            Dg = Dg.at[dzi : dzi + nz, dyi : dyi + ny, dxi : dxi + nx].add(
+                mask * A8[i, i]
+            )
+        return Dg
+
+    # ------------------------------------------------------------- matvec
+    def matvec(self, x: Dict[str, Array]) -> Dict[str, Array]:
+        D, R, C = self._DRC
+        u3 = x["u"].reshape(D, R, C)
+        y_u = self._masked_stencil_apply(u3, self.A8, self.bulk_mask).reshape(-1)
+        y_p = jnp.zeros_like(x["p"])
+        # penalty block (cut cells)
+        ug = x["u"][self.cut_dofs]  # (ne, 8)
+        pg = x["p"][self.cut_dofs]
+        yu = ug @ self.E_uu.T + jnp.einsum("nij,nj->ni", self.E_up, pg)
+        yp = jnp.einsum("nji,nj->ni", self.E_up, ug) + jnp.einsum(
+            "nij,nj->ni", self.E_pp, pg
+        )
+        y_u = y_u.at[self.cut_dofs.reshape(-1)].add(yu.reshape(-1))
+        y_p = y_p.at[self.cut_dofs.reshape(-1)].add(yp.reshape(-1))
+        # ghost faces (static per-axis matrices)
+        for dofs, Eg in self.ghost:
+            y_u = y_u.at[dofs.reshape(-1)].add(
+                (x["u"][dofs] @ Eg.T).reshape(-1)
+            )
+        # one-sided boundary flux
+        for dofs, Eb in self.bdry:
+            y_u = y_u.at[dofs.reshape(-1)].add(
+                (x["u"][dofs] @ Eb.T).reshape(-1)
+            )
+        return {"u": y_u, "p": y_p}
+
+    # -------------------------------------------------------------- solve
+    def solve(
+        self,
+        method: str = "bicgstab",
+        tol: float = 1e-10,
+        maxiter: int = 4000,
+        precond=None,
+    ) -> SolveResult:
+        """Equilibrated Krylov with identity on inactive DoFs — the 3D
+        analogue of solvers.solve's jitted runner."""
+        key = (method, float(tol), int(maxiter), id(precond))
+        cache = getattr(self, "_solve_cache", None)
+        if cache is None:
+            cache = self._solve_cache = {}
+        run = cache.get(key)
+        if run is None:
+            active, diag = self.active, self.diag
+
+            @jax.jit
+            def run(b):
+                dsqrt = jax.tree.map(lambda d: jnp.sqrt(jnp.abs(d)), diag)
+                dinv = jax.tree.map(lambda d: 1.0 / d, dsqrt)
+
+                def mv(y):
+                    xs = jax.tree.map(
+                        lambda yi, di, m: jnp.where(m, yi * di, 0.0),
+                        y, dinv, active,
+                    )
+                    z = self.matvec(xs)
+                    return jax.tree.map(
+                        lambda zi, di, yi, m: jnp.where(m, zi * di, yi),
+                        z, dinv, y, active,
+                    )
+
+                b_eq = jax.tree.map(
+                    lambda bi, di, m: jnp.where(m, bi * di, 0.0),
+                    b, dinv, active,
+                )
+                if precond is not None:
+                    M = lambda r: jax.tree.map(
+                        lambda vi, di: vi * di,
+                        precond(
+                            jax.tree.map(lambda ri, di: ri * di, r, dsqrt)
+                        ),
+                        dsqrt,
+                    )
+                else:
+                    M = lambda r: r
+                x0 = jax.tree.map(jnp.zeros_like, b_eq)
+                runner = _pcg if method == "cg" else _pbicgstab
+                x, it = runner(
+                    mv, b_eq, x0, tol=tol, atol=0.0, maxiter=maxiter, M=M
+                )
+                r = jax.tree.map(lambda bi, ai: bi - ai, b_eq, mv(x))
+                rn = jnp.sqrt(
+                    sum(jnp.vdot(v, v).real for v in jax.tree.leaves(r))
+                )
+                bn = jnp.sqrt(
+                    sum(jnp.vdot(v, v).real for v in jax.tree.leaves(b_eq))
+                )
+                x = jax.tree.map(lambda yi, di: yi * di, x, dinv)
+                return x, jnp.stack([rn / jnp.maximum(bn, 1e-300), it.astype(rn.dtype)])
+
+            cache[key] = run
+        x, stats = run(self.b)
+        stats = np.asarray(stats)
+        rel, it = float(stats[0]), int(stats[1])
+        self.u_lat = x["u"].reshape(self._DRC)
+        self.result = SolveResult(
+            x=x, residual=rel, iterations=it, converged=rel <= 10 * tol
+        )
+        return self.result
+
+    # ------------------------------------------------------ preconditioner
+    def _interface_csr(self):
+        """Host-side sparse interface matrix: global flat ids (u in [0, N),
+        p in [N, 2N)) of the data-dependent DoF block, the CSR A_II
+        restricted to it, and the per-entity overlapping blocks (RAS)."""
+        import scipy.sparse as sp
+
+        D, R, C = self._DRC
+        N = D * R * C
+        cut = np.asarray(self.cut_dofs)
+        act_u = np.asarray(self.active["u"])
+        act_p = np.asarray(self.active["p"])
+
+        rows, cols, vals = [], [], []
+        entity_dofs = []
+
+        def add_block(dofs, mats):
+            """dofs (ne, L) global; mats (ne, L, L) or (L, L) shared."""
+            ne, L = dofs.shape
+            m = np.broadcast_to(np.asarray(mats), (ne, L, L))
+            rows.append(np.broadcast_to(dofs[:, :, None], m.shape))
+            cols.append(np.broadcast_to(dofs[:, None, :], m.shape))
+            vals.append(m)
+            entity_dofs.extend(dofs)
+
+        pen_dofs = np.concatenate([cut, N + cut], axis=1)  # (ne, 16)
+        ne = cut.shape[0]
+        Euu = np.asarray(self.E_uu)
+        Eup = np.asarray(self.E_up)
+        Epp = np.asarray(self.E_pp)
+        blk = np.zeros((ne, 16, 16))
+        blk[:, :8, :8] = Euu[None]
+        blk[:, :8, 8:] = Eup
+        blk[:, 8:, :8] = np.swapaxes(Eup, 1, 2)
+        blk[:, 8:, 8:] = Epp
+        add_block(pen_dofs, blk)
+        for dofs, Eg in self.ghost:
+            add_block(np.asarray(dofs), np.asarray(Eg))
+        for dofs, Eb in self.bdry:
+            add_block(np.asarray(dofs), np.asarray(Eb))
+
+        sel = np.zeros(2 * N, bool)
+        for d in (pen_dofs,):
+            sel[d.reshape(-1)] = True
+        for dofs, _ in self.ghost:
+            sel[np.asarray(dofs).reshape(-1)] = True
+        for dofs, _ in self.bdry:
+            sel[np.asarray(dofs).reshape(-1)] = True
+        sel[:N] &= act_u
+        sel[N:] &= act_p
+
+        # bulk stiffness entries among selected u DoFs
+        in_h = self.tags.region_mask((1, 2))
+        cells = np.argwhere(in_h).astype(np.int32)
+        cdofs = self._cell_dofs(cells)
+        touch = sel[cdofs].any(axis=1)
+        A8 = np.asarray(self.A8)
+        add_block(cdofs[touch], A8)
+
+        ids = np.where(sel)[0]
+        m = ids.shape[0]
+        idx_of = -np.ones(2 * N, np.int64)
+        idx_of[ids] = np.arange(m)
+        r = np.concatenate([v.reshape(-1) for v in rows])
+        c = np.concatenate([v.reshape(-1) for v in cols])
+        v = np.concatenate([v.reshape(-1) for v in vals])
+        rl, cl = idx_of[r], idx_of[c]
+        keep = (rl >= 0) & (cl >= 0)
+        A = sp.coo_matrix(
+            (v[keep], (rl[keep], cl[keep])), shape=(m, m)
+        ).tocsr()
+        # per-entity overlapping blocks in compact index space (RAS)
+        blocks = []
+        for d in entity_dofs:
+            bl = idx_of[d]
+            bl = np.unique(bl[bl >= 0])
+            if bl.size:
+                blocks.append(bl)
+        return ids, A, blocks
+
+    def lattice_preconditioner(
+        self,
+        min_n: int = 4,
+        dtype=jnp.float32,
+        interface: bool = True,
+        dense_max: int = 4000,
+        sweeps: Optional[int] = None,
+    ):
+        """Masked 3D lattice V-cycle on the u-bulk (non-cut Omega_h
+        vertices) + damped Jacobi elsewhere + a multiplicative solve on
+        the cut/ghost/boundary DoF block — the 3D analogue of
+        SchemeBase.lattice_preconditioner (cut-cell DoFs are excluded from
+        the Laplacian cycle: their penalty-scaled rows diverge under
+        Laplacian-sized corrections, see mg.LatticeBulkVCycle; the block
+        solve is dense-inverse <= dense_max DoFs, else inner BiCGStab on
+        the device-resident ELL band with RAS block preconditioning)."""
+        from ..ops.lattice3 import build_lattice3_mg
+
+        g = self.grid
+        D, R, C = self._DRC
+        N = D * R * C
+        # u bulk vertices: touched by region-1 cells only (no cut cell)
+        in1 = self.tags.cell_tags == 1
+        cut = self.tags.cell_tags == 2
+        touch1 = np.zeros((D, R, C), bool)
+        touch_cut = np.zeros((D, R, C), bool)
+        nz, ny, nx = in1.shape
+        for (dx, dy, dz) in _HEX_OFFS:
+            touch1[dz : dz + nz, dy : dy + ny, dx : dx + nx] |= in1
+            touch_cut[dz : dz + nz, dy : dy + ny, dx : dx + nx] |= cut
+        bulk = touch1 & ~touch_cut
+        mg = build_lattice3_mg(
+            g.nx, g.ny, g.nz, g.spacing, min_n=min_n, dtype=dtype, mask=bulk
+        )
+        bulk_j = jnp.asarray(bulk)
+        inv_diag = jax.tree.map(lambda d: 1.0 / d, self.diag)
+        active = self.active
+        omega = 0.67
+
+        iface = None
+        if interface:
+            ids, A_csr, blocks = self._interface_csr()
+            m = ids.shape[0]
+            if m <= dense_max:
+                Ad = A_csr.todense()
+                iface = ("dense", jnp.asarray(ids), jnp.asarray(np.linalg.inv(Ad)))
+            else:
+                K = max(bl.size for bl in blocks)
+                nb = len(blocks)
+                bids = np.full((nb, K), m, np.int64)
+                for i, bl in enumerate(blocks):
+                    bids[i, : bl.size] = bl
+                owner = -np.ones(m, np.int64)
+                own = np.zeros((nb, K), bool)
+                for i, bl in enumerate(blocks):
+                    new = bl[owner[bl] < 0]
+                    owner[new] = i
+                    own[i, : bl.size] = owner[blocks[i]] == i
+                mats = np.zeros((nb, K, K))
+                mats[:, np.arange(K), np.arange(K)] = 1.0
+                for i, bl in enumerate(blocks):
+                    Ab = np.asarray(A_csr[bl][:, bl].todense())
+                    dz0 = np.abs(np.diag(Ab)) < 1e-300
+                    Ab[dz0, dz0] = 1.0
+                    mats[i, : bl.size, : bl.size] = Ab
+                inv = np.linalg.inv(mats)
+                nnz_row = np.diff(A_csr.indptr)
+                nnzmax = max(1, int(nnz_row.max()))
+                ecols = np.full((m, nnzmax), m, np.int64)
+                evals = np.zeros((m, nnzmax))
+                for i in range(m):
+                    s0, e0 = A_csr.indptr[i], A_csr.indptr[i + 1]
+                    ecols[i, : e0 - s0] = A_csr.indices[s0:e0]
+                    evals[i, : e0 - s0] = A_csr.data[s0:e0]
+                zr = nnz_row == 0
+                ecols[zr, 0] = np.where(zr)[0]
+                evals[zr, 0] = 1.0
+                n_sweeps = (
+                    sweeps if sweeps is not None else max(10, int(0.3 * m**0.5))
+                )
+                iface = (
+                    "schwarz",
+                    jnp.asarray(ids),
+                    jnp.asarray(bids),
+                    jnp.asarray(inv),
+                    jnp.asarray(own),
+                    jnp.asarray(ecols, jnp.int32),
+                    jnp.asarray(evals),
+                    n_sweeps,
+                )
+
+        def precond(r):
+            r3 = jnp.where(bulk_j, r["u"].reshape(D, R, C), 0.0)
+            rp = jnp.zeros((D + 2, R + 2, C + 2), r3.dtype).at[
+                1 : 1 + D, 1 : 1 + R, 1 : 1 + C
+            ].set(r3)
+            z3 = mg(rp)[1 : 1 + D, 1 : 1 + R, 1 : 1 + C]
+            jac_u = omega * r["u"] * inv_diag["u"]
+            z_u = jnp.where(
+                bulk_j.reshape(-1),
+                z3.reshape(-1),
+                jnp.where(active["u"], jac_u, 0.0),
+            )
+            z_p = jnp.where(active["p"], omega * r["p"] * inv_diag["p"], 0.0)
+            x = {"u": z_u, "p": z_p}
+            if iface is None:
+                return x
+            # multiplicative block correction on the residual
+            Ax = self.matvec(
+                jax.tree.map(
+                    lambda xi, mm: jnp.where(mm, xi, 0.0), x, active
+                )
+            )
+            res = {
+                "u": jnp.where(active["u"], r["u"] - Ax["u"], 0.0),
+                "p": jnp.where(active["p"], r["p"] - Ax["p"], 0.0),
+            }
+            rf = jnp.concatenate([res["u"], res["p"]])
+            if iface[0] == "dense":
+                _, ids_j, inv_j = iface
+                corr = inv_j.astype(rf.dtype) @ rf[ids_j]
+            else:
+                _, ids_j, bids, binv, own, ecols, evals, n_sweeps = iface
+                rb = rf[ids_j]
+                dt = rb.dtype
+                mloc = rb.shape[0]
+
+                def band_mv(v):
+                    vpad = jnp.concatenate([v, jnp.zeros(1, dt)])
+                    return (evals.astype(dt) * vpad[ecols]).sum(axis=1)
+
+                def band_ras(v):
+                    vpad = jnp.concatenate([v, jnp.zeros(1, dt)])
+                    cb = jnp.einsum(
+                        "bkl,bl->bk", binv.astype(dt), vpad[bids]
+                    )
+                    upd = jnp.where(own, cb, 0.0)
+                    out = jnp.zeros(mloc + 1, dt).at[bids].add(upd)
+                    return out[:mloc]
+
+                corr, _ = jax.scipy.sparse.linalg.bicgstab(
+                    band_mv, rb, M=band_ras, tol=1e-8, atol=0.0,
+                    maxiter=n_sweeps,
+                )
+            xf = jnp.concatenate([x["u"], x["p"]]).at[ids_j].add(corr)
+            return {"u": xf[:N], "p": xf[N:]}
+
+        return precond
+
+    # ------------------------------------------------------------- errors
+    def l2_h1_errors(self, exact: Callable, region=(1, 2)) -> Dict[str, float]:
+        """Relative L2/H10 errors of u_h vs a callable, by 2x2x2 cellwise
+        quadrature over the region cells (dense masked lattice sums)."""
+        g = self.grid
+        dt = _float_dtype()
+        hx, hy, hz = g.spacing
+        vol = hx * hy * hz
+        W, V, G = _hex_tables(2)
+        mask = jnp.asarray(self.tags.region_mask(region).astype(np.float64), dt)
+        nz, ny, nx = mask.shape
+        D, R, C = self._DRC
+        uh = self.u_lat
+        x, y, z = g.vertex_coords_lattice(dt)
+        x0 = jnp.broadcast_to(x, (D, R, C))[:nz, :ny, :nx]
+        y0 = jnp.broadcast_to(y, (D, R, C))[:nz, :ny, :nx]
+        z0 = jnp.broadcast_to(z, (D, R, C))[:nz, :ny, :nx]
+        corners = [
+            uh[dz : dz + nz, dy : dy + ny, dx : dx + nx]
+            for (dx, dy, dz) in _HEX_OFFS
+        ]
+        pts, wts = [], []
+        g1, w1 = _gauss01(2)
+        for qz, wz in zip(g1, w1):
+            for qy, wy in zip(g1, w1):
+                for qx, wx in zip(g1, w1):
+                    pts.append((qx, qy, qz))
+                    wts.append(wx * wy * wz)
+        num_l2 = den_l2 = num_h1 = den_h1 = jnp.asarray(0.0, dt)
+        for (qx, qy, qz), wq3, Vq, Gq in zip(pts, wts, V, G):
+            Nq = jnp.asarray(Vq, dt)
+            Gd = jnp.asarray(Gq, dt) / np.array([hx, hy, hz])[None, :]
+            uq = sum(Nq[i] * corners[i] for i in range(8))
+            px = x0 + qx * hx
+            py = y0 + qy * hy
+            pz = z0 + qz * hz
+            pe = jnp.stack([px, py, pz], axis=-1)
+            ue = exact(pe)
+            ge = jax.vmap(
+                jax.vmap(jax.vmap(jax.grad(lambda p: exact(p[None])[0])))
+            )(pe)
+            num_l2 += wq3 * jnp.sum(mask * (uq - ue) ** 2)
+            den_l2 += wq3 * jnp.sum(mask * ue**2)
+            for k in range(3):
+                gk = sum(Gd[i, k] * corners[i] for i in range(8))
+                num_h1 += wq3 * jnp.sum(mask * (gk - ge[..., k]) ** 2)
+                den_h1 += wq3 * jnp.sum(mask * ge[..., k] ** 2)
+        return {
+            "l2": float(jnp.sqrt(num_l2 / den_l2)),
+            "h10": float(jnp.sqrt(num_h1 / den_h1)),
+        }
