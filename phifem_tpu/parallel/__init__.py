@@ -11,6 +11,11 @@ the gathers) over ICI/DCN.
 
 from .halo import HaloOperator, UnsupportedFieldError, halo_solve
 from .lattice import ShardedLatticeMG, build_sharded_lattice_mg, sharded_lattice_solve
+from .lattice3 import (
+    ShardedLattice3MG,
+    build_sharded_lattice3_mg,
+    sharded_lattice3_solve,
+)
 from .sharding import (
     make_mesh,
     shard_vector,
@@ -23,6 +28,9 @@ __all__ = [
     "ShardedLatticeMG",
     "build_sharded_lattice_mg",
     "sharded_lattice_solve",
+    "ShardedLattice3MG",
+    "build_sharded_lattice3_mg",
+    "sharded_lattice3_solve",
     "UnsupportedFieldError",
     "halo_solve",
     "make_mesh",

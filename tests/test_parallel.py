@@ -159,3 +159,44 @@ def test_sharded_solve_p2():
     du = float(jnp.max(jnp.abs(x_sh["u"] - ref.x["u"])))
     scale = float(jnp.max(jnp.abs(ref.x["u"])))
     assert du < 1e-6 * max(scale, 1.0), du
+
+
+@multidevice
+def test_sharded_lattice3_matches_single_device():
+    """Distributed 3D MG-CG (z-plane slabs, 1-plane ppermute halos,
+    psum dots, agglomerated tail) equals the single-device lattice3
+    solve — on a z size NOT divisible by 8 (D = 25 planes)."""
+    from phifem_tpu.grid3 import Grid3
+    from phifem_tpu.models import BoxPoisson3
+    from phifem_tpu.parallel import (
+        build_sharded_lattice3_mg,
+        make_mesh,
+        sharded_lattice3_solve,
+    )
+
+    n = 24
+    g = Grid3(n, n, n, ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)))
+    uex = lambda x: (
+        jnp.sin(jnp.pi * x[..., 0])
+        * jnp.sin(jnp.pi * x[..., 1])
+        * jnp.sin(jnp.pi * x[..., 2])
+    )
+    f = lambda x: 3.0 * jnp.pi**2 * uex(x)
+    s = BoxPoisson3(g).setup(f)
+    s.assemble()
+    r_ref = s.solve_lattice(tol=1e-11, maxiter=40)
+    assert r_ref.converged
+
+    mesh = make_mesh(8)
+    mg = build_sharded_lattice3_mg(
+        n, n, n, g.spacing, mesh, min_n=4, replicate_planes=2,
+        dtype=jnp.float64,
+    )
+    assert len(mg.levels) >= 2, "want at least 2 distributed levels"
+    u3, rel, it = sharded_lattice3_solve(
+        mg, mesh, s.b_lat, tol=1e-11, maxiter=40
+    )
+    assert rel < 1e-10, rel
+    du = float(jnp.abs(u3 - s.u_lat).max())
+    scale = float(jnp.abs(s.u_lat).max())
+    assert du < 1e-8 * max(scale, 1.0), du
