@@ -19,7 +19,8 @@ preconditioner runs float32 so the Pallas stencil is live on that path too.
 
 Env knobs: PHIFEM_POISSON_N (default 3200), PHIFEM_BENCH_N (S1 grid, 200),
 PHIFEM_BENCH_S5_N (S5 grid, 128), PHIFEM_BENCH_ASM_N (large reassemble,
-3200); PHIFEM_BENCH_SKIP_{S1,POISSON,S5,ASM}=1 to skip a section.
+3200), PHIFEM_BENCH_3D_N (3D Poisson, 216 -> 10.2M DoF);
+PHIFEM_BENCH_SKIP_{S1,POISSON,S5,ASM,3D}=1 to skip a section.
 """
 
 import json
@@ -244,6 +245,46 @@ def bench_s1_pipeline(n: int) -> dict:
     }
 
 
+def bench_poisson3(n: int) -> dict:
+    """3D Q1-hex lattice MG-CG (ops.lattice3) — the z-axis extension the
+    2D-only reference lacks.  n=216 -> 10.2M vertex DoFs."""
+    from phifem_tpu.grid3 import Grid3
+    from phifem_tpu.models import BoxPoisson3
+
+    g = Grid3(n, n, n, ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)))
+    uex = lambda x: (
+        jnp.sin(jnp.pi * x[..., 0])
+        * jnp.sin(jnp.pi * x[..., 1])
+        * jnp.sin(jnp.pi * x[..., 2])
+    )
+    f = lambda x: 3.0 * jnp.pi**2 * uex(x)
+    s = BoxPoisson3(g)
+    t0 = time.perf_counter()
+    s.setup(f)
+    s.assemble()
+    _fetch(s.b_lat)
+    t_setup = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mg = s.lattice_solver(min_n=8, dtype=jnp.float32)
+    t_mg = time.perf_counter() - t0
+    r0, t_cold = _t(s.solve_lattice, tol=1e-10, maxiter=40, mg=mg)
+    r, t_solve = _t(s.solve_lattice, tol=1e-10, maxiter=40, mg=mg)
+    ndofs = (n + 1) ** 3
+    return {
+        "ndofs": ndofs,
+        "n": n,
+        "solve_s": round(t_solve, 4),
+        "cold_solve_s": round(t_cold, 2),
+        "setup_assemble_s": round(t_setup, 2),
+        "mg_setup_s": round(t_mg, 2),
+        "residual": f"{r.residual:.2e}",
+        "converged": bool(r.converged),
+        "iterations": int(r.iterations),
+        "mg_levels": len(mg.levels),
+        "mdofs_per_s": round(ndofs / t_solve / 1e6, 2),
+    }
+
+
 def bench_s5(n: int) -> dict:
     """S5 interface elasticity (reference param1 problem): warm deflated
     BiCGStab + block-lattice-MG/interface preconditioner (the reference's
@@ -347,6 +388,14 @@ def main():
             extra["s1"] = s1
         except Exception:
             extra["s1_error"] = traceback.format_exc()[-1500:]
+
+    if os.environ.get("PHIFEM_BENCH_SKIP_3D") != "1":
+        try:
+            extra["poisson3d"] = bench_poisson3(
+                int(os.environ.get("PHIFEM_BENCH_3D_N", "216"))
+            )
+        except Exception:
+            extra["poisson3d_error"] = traceback.format_exc()[-1500:]
 
     if os.environ.get("PHIFEM_BENCH_SKIP_S5") != "1":
         try:
