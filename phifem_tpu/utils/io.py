@@ -175,3 +175,57 @@ def save_checkpoint(path, **arrays) -> None:
 def load_checkpoint(path) -> Dict[str, np.ndarray]:
     with np.load(path) as z:
         return {k: z[k] for k in z.files}
+
+
+def write_vti(
+    path: Union[str, os.PathLike],
+    grid3,
+    point_data: Optional[Dict[str, np.ndarray]] = None,
+    cell_data: Optional[Dict[str, np.ndarray]] = None,
+) -> None:
+    """VTK ImageData (.vti) writer for :class:`phifem_tpu.grid3.Grid3` —
+    the natural format for the structured 3D vertex lattice (ParaView-
+    compatible, ascii).  ``point_data``: name -> (D, R, C) or flat vertex
+    arrays; ``cell_data``: name -> (nz, ny, nx) or flat cell arrays."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    D, R, C = grid3.lattice_shape
+    (x0, y0, z0), _ = grid3.bbox
+    hx, hy, hz = grid3.spacing
+
+    def _fmt(arr, shape):
+        a = np.asarray(arr, np.float64).reshape(shape + (-1,))
+        ncomp = a.shape[-1]
+        return a.reshape(-1, ncomp), ncomp
+
+    lines = [
+        '<?xml version="1.0"?>',
+        '<VTKFile type="ImageData" version="0.1" byte_order="LittleEndian">',
+        f'  <ImageData WholeExtent="0 {C - 1} 0 {R - 1} 0 {D - 1}" '
+        f'Origin="{x0} {y0} {z0}" Spacing="{hx} {hy} {hz}">',
+        f'    <Piece Extent="0 {C - 1} 0 {R - 1} 0 {D - 1}">',
+    ]
+
+    def _section(tag, data, shape):
+        if not data:
+            lines.append(f"      <{tag}/>")
+            return
+        lines.append(f"      <{tag}>")
+        for name, arr in data.items():
+            vals, ncomp = _fmt(arr, shape)
+            lines.append(
+                f'        <DataArray type="Float64" Name="{name}" '
+                f'NumberOfComponents="{ncomp}" format="ascii">'
+            )
+            lines.append(
+                "          "
+                + " ".join(f"{v:.10g}" for v in vals.reshape(-1))
+            )
+            lines.append("        </DataArray>")
+        lines.append(f"      </{tag}>")
+
+    # VTK ImageData ravels x fastest, matching the (D, R, C) lattice order
+    _section("PointData", point_data or {}, (D, R, C))
+    _section("CellData", cell_data or {}, (grid3.nz, grid3.ny, grid3.nx))
+    lines += ["    </Piece>", "  </ImageData>", "</VTKFile>", ""]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))

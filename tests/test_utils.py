@@ -81,3 +81,24 @@ def test_timer():
     with t.phase("a"):
         pass
     assert "a" in t.phases and "total" in t.report()
+
+
+def test_write_vti_3d(tmp_path):
+    """Grid3 VTI writer: valid XML, correct extents, point+cell data."""
+    import xml.etree.ElementTree as ET
+
+    from phifem_tpu.grid3 import Grid3
+    from phifem_tpu.utils import write_vti
+
+    g = Grid3(4, 3, 2, ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)))
+    u = np.arange(g.num_vertices, dtype=float).reshape(g.lattice_shape)
+    tags = np.ones((g.nz, g.ny, g.nx))
+    p = tmp_path / "out.vti"
+    write_vti(p, g, point_data={"u": u}, cell_data={"tags": tags})
+    root = ET.parse(p).getroot()
+    img = root.find("ImageData")
+    assert img.get("WholeExtent") == "0 4 0 3 0 2"
+    arr = img.find("Piece/PointData/DataArray")
+    vals = np.fromstring(arr.text.strip(), sep=" ")
+    assert vals.size == g.num_vertices
+    assert np.allclose(vals, u.reshape(-1))
