@@ -299,3 +299,37 @@ def test_scheme_lattice_preconditioner_iteration_scaling():
         assert r.converged, (n, r.residual)
         assert 0 <= r.iterations <= bound, (n, r.iterations)
     # both paths really were exercised
+
+
+def test_scheme_lattice_preconditioner_s3_mixed():
+    """lattice_preconditioner on the MIXED S3 system (P1 u + vector-P1 y
+    + DG0 p): the scalar primal bulk rides the stencil V-cycle, auxiliary
+    fields fall back to Jacobi + the interface solve."""
+    import jax
+    from phifem_tpu.models import NeumannPoisson
+
+    phi = lambda x: x[..., 0] ** 2 + x[..., 1] ** 2 - 0.49
+    uex = lambda x: jnp.sin(x[..., 0]) * jnp.cos(x[..., 1])
+    f = lambda x: 2.0 * uex(x) + uex(x)
+
+    def du_dn(x):
+        g = jax.vmap(jax.grad(lambda p: jnp.sin(p[0]) * jnp.cos(p[1])))(x)
+        gp = 2.0 * x
+        nrm = jnp.maximum(jnp.linalg.norm(gp, axis=-1), 1e-12)
+        return jnp.sum(g * gp, axis=-1) / nrm
+
+    g = pf.Grid(48, 48, ((-1.0, -1.0), (1.0, 1.0)), "triangle")
+    s = NeumannPoisson(g, mode="bg")
+    s.setup(phi, f, du_dn)
+    s.assemble()
+    vc = s.lattice_preconditioner(min_n=12)
+    r1 = s.solve(method="bicgstab", tol=1e-9, maxiter=120, precond=vc)
+    assert r1.converged, r1.residual
+    r2 = s.solve(method="bicgstab", tol=1e-9, maxiter=2000)
+    for k in r1.x:
+        du = np.abs(np.asarray(r1.x[k] - r2.x[k])).max()
+        sc = max(np.abs(np.asarray(r2.x[k])).max(), 1e-12)
+        # the DG0 auxiliary p is tiny (max ~2e-3): its relative agreement
+        # is bounded by the outer tolerance against ||x||, not ||p||
+        tol_k = 1e-3 if k == "p" else 1e-4
+        assert du / sc < tol_k, (k, du / sc)
