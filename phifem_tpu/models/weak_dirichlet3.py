@@ -550,10 +550,12 @@ class WeakDirichletPoisson3:
                 nnzmax = max(1, int(nnz_row.max()))
                 ecols = np.full((m, nnzmax), m, np.int64)
                 evals = np.zeros((m, nnzmax))
-                for i in range(m):
-                    s0, e0 = A_csr.indptr[i], A_csr.indptr[i + 1]
-                    ecols[i, : e0 - s0] = A_csr.indices[s0:e0]
-                    evals[i, : e0 - s0] = A_csr.data[s0:e0]
+                rows_rep = np.repeat(np.arange(m), nnz_row)
+                offs2 = np.arange(A_csr.nnz) - np.repeat(
+                    A_csr.indptr[:-1], nnz_row
+                )
+                ecols[rows_rep, offs2] = A_csr.indices
+                evals[rows_rep, offs2] = A_csr.data
                 zr = nnz_row == 0
                 ecols[zr, 0] = np.where(zr)[0]
                 evals[zr, 0] = 1.0
