@@ -437,6 +437,7 @@ class Batch:
     rebuild: Optional[Callable] = None  # () -> fresh matrices (data-dependent batches)
     rebuild_core: Optional[Callable] = None  # (arrays dict) -> matrices (jittable)
     rebuild_data: Optional[Dict] = None  # {name: Function} current data sources
+    cells: Optional[np.ndarray] = None  # covered cell ids (uniform cell batches)
 
     def gather(self, x: Dict[str, Array]) -> Array:
         parts = []
@@ -841,7 +842,9 @@ def assemble_operator(
             cells = _region_cells(grid, cell_tags, term.region)
             cells_j = jnp.asarray(cells)
             segs, mats, _ = _prune_batch(_segments_for_cells(system, cells_j), mats)
-            batches.append(Batch(segs, mats, orient=grid.orientation_of(cells_j)))
+            batches.append(
+                Batch(segs, mats, orient=grid.orientation_of(cells_j), cells=cells)
+            )
         else:
             cells = _region_cells(grid, cell_tags, term.region)
             cells_j = jnp.asarray(cells)

@@ -137,6 +137,7 @@ class SchemeBase:
             block_vertex_stencil_weights,
             build_lattice_block_mg,
             build_lattice_mg,
+            build_lattice_var_mg,
             vertex_stencil_weights,
         )
         from ..ops.stencil import _QUAD_OFFS, _TRI_OFFS, StencilCellBatch
@@ -163,10 +164,25 @@ class SchemeBase:
         matvec, inv_diag, active = _masked_matvec(self.op, bcs, dtype)
         g = self.grid
         offs = _TRI_OFFS if g.is_simplex else (_QUAD_OFFS,)
+        neum = set(self._bulk_neumann_fields())
         ws: Dict[str, np.ndarray] = {}  # scalar P1: (3, 3) vertex stencils
         wsb: Dict[str, np.ndarray] = {}  # vector/tensor P1: (3,3,v,v) blocks
+        # fields needing a FREE-boundary bulk cycle: (mats, indicator) pairs
+        wsv: Dict[str, list] = {}
         for b in self.op.batches:
             if isinstance(b, StencilCellBatch):
+                if b.field in neum:
+                    ind = (
+                        np.asarray(b.masks)
+                        if b.masks is not None
+                        else np.ones(
+                            (2 if g.is_simplex else 1, g.ny, g.nx)
+                        )
+                    )
+                    wsv.setdefault(b.field, []).append(
+                        (np.asarray(b.matrices), ind)
+                    )
+                    continue
                 w = vertex_stencil_weights(np.asarray(b.matrices), offs)
                 ws[b.field] = ws.get(b.field, 0.0) + w
                 continue
@@ -187,6 +203,18 @@ class SchemeBase:
                     and sp.degree == 1
                     and dofs.shape[1] == (3 if g.is_simplex else 4)
                 ):
+                    if name in neum and b.cells is not None:
+                        from ..ops.lattice import orientation_cell_masks
+
+                        sel = np.zeros(g.num_cells, bool)
+                        sel[np.asarray(b.cells)] = True
+                        wsv.setdefault(name, []).append(
+                            (
+                                np.asarray(b.matrices),
+                                orientation_cell_masks(g, sel),
+                            )
+                        )
+                        continue
                     wb = block_vertex_stencil_weights(
                         np.asarray(b.matrices), offs, sp.value_size
                     )
@@ -198,7 +226,7 @@ class SchemeBase:
         _, _, active_full = masked_operator(self.op, bcs)
         sel = data_dependent_selection(self.op, active_full)
         R, C = g.ny + 1, g.nx + 1
-        all_fields = list(ws) + list(wsb)
+        all_fields = list(ws) + list(wsb) + list(wsv)
         bulk_np = {}
         vertex_np = {}
         for f in all_fields:
@@ -222,6 +250,17 @@ class SchemeBase:
             mgs[f] = build_lattice_block_mg(
                 g.nx, g.ny, wb, min_n=min_n, dtype=dtype, mask=vertex_np[f]
             )
+        for f, contribs in wsv.items():
+            if not vertex_np[f].any():
+                continue
+            mgs[f] = build_lattice_var_mg(
+                g,
+                contribs,
+                self.op.system.fields[f].value_size,
+                min_n=min_n,
+                dtype=dtype,
+                mask=vertex_np[f],
+            )
         shapes = {f: (R, C) for f in all_fields}
         lvl = Level(g, matvec, inv_diag, active)
         bulk_masks = {f: jnp.asarray(m) for f, m in bulk_np.items()}
@@ -238,8 +277,116 @@ class SchemeBase:
                 "sweeps_coef", getattr(self, "_iface_sweeps_coef", 0.2)
             )
             vc = attach_interface_solve(vc, self.op, active_full, **interface_kw)
+        modes = self._coarse_modes()
+        if modes:
+            from ..mg import attach_coarse_correction
+
+            vc = attach_coarse_correction(vc, self.op, active_full, modes, bcs)
         cache[key] = vc
         return vc
+
+    def coupled_preconditioner(
+        self,
+        min_n: int = 16,
+        dtype=jnp.float32,
+        refresh: bool = False,
+        max_coarse_dofs: int = 9000,
+        **interface_kw,
+    ):
+        """Multilevel coupled hierarchy
+        (:class:`phifem_tpu.mg.CoupledVCycle`): the SCHEME re-discretized
+        on halved grids, each level smoothed by its own flat lattice
+        preconditioner, dense pseudo-inverse coupled coarsest solve.
+
+        Needed when the bulk/band splitting alone is h-dependent — i.e.
+        for interface-TRANSMISSION systems (S5), where the two material
+        bulks communicate only through the O(h)-thin cut band and the
+        2-block preconditioner contracts at 1-O(h) even with exact
+        sub-solves (dense study, see CoupledVCycle docstring)."""
+        import dataclasses as _dc
+
+        from ..grid import Grid
+        from ..mg import CoupledVCycle, Level, _coarse_pinv, _masked_matvec
+
+        key = (
+            "coupled",
+            min_n,
+            str(dtype),
+            max_coarse_dofs,
+            repr(sorted(interface_kw.items())),
+            self.op.data_version,
+        )
+        cache = getattr(self, "_mg_cache", None)
+        if cache is None:
+            cache = self._mg_cache = {}
+        if not refresh and key in cache:
+            return cache[key]
+
+        levels = []
+        s = self
+        vertex_fields = None
+        while True:
+            g = s.grid
+            bcs = getattr(s, "bcs", ())
+            matvec, _, active = _masked_matvec(s.op, bcs, dtype)
+            if vertex_fields is None:
+                vertex_fields = tuple(
+                    n for n, v in active.items()
+                    if v.shape[0] == g.num_vertices
+                )
+            can_halve = (
+                g.nx % 2 == 0
+                and g.ny % 2 == 0
+                and g.nx // 2 >= min_n
+                and g.ny // 2 >= min_n
+            )
+            if not can_halve or s.op.system.num_dofs <= max_coarse_dofs:
+                ci = _coarse_pinv(s.op, active)
+                coarse = Level(
+                    g,
+                    matvec,
+                    None,
+                    active,
+                    coarse_inv=ci.astype(dtype),
+                    field_shapes={
+                        n: tuple(sp.dof_shape)
+                        for n, sp in s.op.system.fields.items()
+                    },
+                )
+                break
+            M = SchemeBase.lattice_preconditioner(
+                s, min_n=min_n, dtype=dtype, **interface_kw
+            )
+            levels.append(
+                {"op": s.op, "grid": g, "matvec": matvec, "active": active,
+                 "M": M}
+            )
+            s2 = _dc.replace(s, grid=Grid(g.nx // 2, g.ny // 2, g.bbox,
+                                          g.cell_type))
+            s2.setup(*self._setup_args)
+            s2.assemble(rhs=False)
+            s = s2
+        vc = CoupledVCycle(levels, coarse, vertex_fields, dtype=dtype)
+        cache[key] = vc
+        return vc
+
+    def _coarse_modes(self) -> tuple:
+        """Near-null mode pytrees for the preconditioner's rank-k Galerkin
+        coarse correction (:func:`phifem_tpu.mg.attach_coarse_correction`).
+        Schemes with floating (ungrounded) subdomains override — see
+        ``InterfaceElasticity._coarse_modes``."""
+        return ()
+
+    def _bulk_neumann_fields(self) -> tuple:
+        """Fields whose bulk lattice MG must use the FREE-boundary
+        variable stencil (:class:`phifem_tpu.ops.lattice.LatticeVarMG`)
+        instead of the Dirichlet-masked constant stencil: any field whose
+        physical boundary condition at the immersed boundary is natural
+        (traction/flux) rather than penalty-pinned.  With the Dirichlet
+        treatment, the O(n)-dimensional harmonic-extension space of the
+        region boundary is mis-corrected and outer Krylov iterations grow
+        ~1/h (measured on S5: 15/39/108 at n=32/64/128)."""
+        return ()
 
     # ------------------------------------------------------------- errors
     def l2_h1_errors(

@@ -258,6 +258,51 @@ class InterfaceElasticity(SchemeBase):
             modes.append(m)
         return tuple(modes)
 
+    def lattice_preconditioner(
+        self,
+        min_n: int = 16,
+        dtype=jnp.float32,
+        interface: bool = True,
+        refresh: bool = False,
+        coupled: bool = True,
+        **interface_kw,
+    ):
+        """S5 default: the multilevel COUPLED hierarchy — the flat
+        bulk/band splitting is h-dependent for interface transmission
+        (outer iters 15/39/108 at n=32/64/128; grid-independent with the
+        coupled coarse levels).  ``coupled=False`` falls back to the flat
+        single-level preconditioner."""
+        if coupled and interface:
+            return self.coupled_preconditioner(
+                min_n=min_n, dtype=dtype, refresh=refresh, **interface_kw
+            )
+        return super().lattice_preconditioner(
+            min_n=min_n, dtype=dtype, interface=interface, refresh=refresh,
+            **interface_kw,
+        )
+
+    def _bulk_neumann_fields(self) -> tuple:
+        """Both displacement bulks end at the immersed interface with a
+        natural (traction-transfer) condition — their bulk MG needs the
+        free-boundary variable stencil (see SchemeBase)."""
+        return ("u_in", "u_out")
+
+    def _coarse_modes(self) -> tuple:
+        """Rigid motions of u_in ALONE — the floating-subdomain coarse
+        space.  u_in has no Dirichlet row of its own (see rigid_modes), so
+        a relative rigid motion's energy sits entirely in the cut-band
+        penalty block: the bulk MG sees zero residual for it and the band
+        solve cannot update bulk DoFs, which is exactly the mode class
+        :func:`phifem_tpu.mg.attach_coarse_correction` exists for.
+        (Collective (u_in, u_out) motions are the exact null space and are
+        handled by deflation instead.)"""
+        modes = []
+        for m in self.rigid_modes():
+            mm = dict(m)
+            mm["u_out"] = jnp.zeros_like(m["u_out"])
+            modes.append(mm)
+        return tuple(modes)
+
     def solve(self, method: str = "bicgstab", tol: float = 1e-10, **kw) -> SolveResult:
         if method != "dense" and "deflate" not in kw:
             kw["deflate"] = self.rigid_modes()

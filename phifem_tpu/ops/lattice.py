@@ -49,8 +49,12 @@ __all__ = [
     "block_vertex_stencil_weights",
     "LatticeMG",
     "LatticeBlockMG",
+    "LatticeVarMG",
     "build_lattice_mg",
     "build_lattice_block_mg",
+    "build_lattice_var_mg",
+    "cell_stencil_maps",
+    "orientation_cell_masks",
     "lattice_cg",
 ]
 
@@ -511,6 +515,326 @@ def build_lattice_block_mg(
     )
     return LatticeBlockMG(
         levels, terms, jnp.asarray(inv, dtype), vsz, dtype=dtype,
+        masks=lvl_masks, **kw
+    )
+
+
+def orientation_cell_masks(grid, sel: np.ndarray) -> np.ndarray:
+    """Per-orientation ``(norient, ny, nx)`` float cell indicators from a
+    flat covered-cells bool ``sel`` (cell numbering: row-major boxes, the
+    two triangles of a box interleaved — same layout StencilCellBatch
+    uses)."""
+    ny, nx = grid.ny, grid.nx
+    if grid.is_simplex:
+        return np.stack(
+            [sel[0::2].reshape(ny, nx), sel[1::2].reshape(ny, nx)]
+        ).astype(np.float64)
+    return sel.reshape(1, ny, nx).astype(np.float64)
+
+
+def _coarsen_cells(ind: np.ndarray) -> np.ndarray:
+    """Coarse cell indicator: a coarse box is active when ANY fine box in
+    its 2x2 block is (orientation distinction dropped — a 1-cell dilation
+    of the region boundary, the standard over-covering of re-discretized
+    immersed multigrid)."""
+    norient, ny, nx = ind.shape
+    m = ind.max(axis=0).reshape(ny // 2, 2, nx // 2, 2).max(axis=(1, 3))
+    return np.broadcast_to(m, (norient, ny // 2, nx // 2)).copy()
+
+
+def cell_stencil_maps(
+    contribs, offs_per_orient, vsz: int
+) -> np.ndarray:
+    """Variable per-vertex block stencil maps ``(3, 3, vsz, vsz, R-2, C-2)``
+    (logical-interior vertices) assembled from the per-orientation cell
+    indicator ``ind`` — the exact reduced operator of the cell term on the
+    covered region, with FREE (Neumann) boundary where coverage ends.
+
+    This is what a floating / naturally-bounded phi-FEM block needs from
+    its bulk MG: the Dirichlet-masked constant stencil
+    (:func:`build_lattice_mg` with ``mask``) mis-corrects every mode with
+    nonzero trace on the region boundary (the harmonic-extension space,
+    O(n) modes), which shows up as outer-Krylov iteration growth.
+
+    ``contribs``: list of ``(mats, ind)`` pairs — element matrices
+    (norient, nloc*vsz, nloc*vsz) and per-orientation cell indicators
+    (norient, ny, nx); summed (a field may collect several cell terms)."""
+    norient, ny, nx = contribs[0][1].shape
+    R, C = ny + 1, nx + 1
+    W = np.zeros((3, 3, vsz, vsz, R, C))
+    for mats, ind in contribs:
+        mats = np.asarray(mats, np.float64)
+        for o, offs in enumerate(offs_per_orient):
+            io = ind[o]
+            for i, (dxi, dyi) in enumerate(offs):
+                for j, (dxj, dyj) in enumerate(offs):
+                    blk = mats[
+                        o, i * vsz : (i + 1) * vsz, j * vsz : (j + 1) * vsz
+                    ]
+                    a, b = 1 + dyj - dyi, 1 + dxj - dxi
+                    W[a, b, :, :, dyi : dyi + ny, dxi : dxi + nx] += (
+                        blk[:, :, None, None] * io
+                    )
+    return W[:, :, :, :, 1 : R - 1, 1 : C - 1]
+
+
+def galerkin_coarsen_stencil(Wf: np.ndarray, Rc: int, Cc: int) -> np.ndarray:
+    """Galerkin (RAP) coarsening of a variable 9-point block stencil with
+    full-weighting restriction / bilinear prolongation — the coarse
+    operator stays 9-point in 2D, so every level remains lattice-resident.
+
+    Re-discretizing coarse levels from POOLED cell indicators is NOT
+    stable for free-boundary (Neumann) blocks: the pooled boundary rows
+    misrepresent the operator and the V-cycle diverges with depth
+    (measured rho 0.73/2.35/4.39 at 2/3/4 levels on the S5 disk block).
+    RAP guarantees the coarse correction is A-optimal for SPD blocks.
+
+    ``Wf``: (3, 3, vsz, vsz, Rf-2, Cf-2) logical-interior fine stencil,
+    ``Rf = 2 Rc - 1``.  Returns (3, 3, vsz, vsz, Rc-2, Cc-2)."""
+    _, _, vsz, _, nif, njf = Wf.shape
+    Rf, Cf = nif + 2, njf + 2
+    # embed into logical-full with a ring of zeros, plus 2 pad for gathers
+    Wfull = np.zeros((3, 3, vsz, vsz, Rf + 4, Cf + 4))
+    Wfull[:, :, :, :, 3 : 3 + nif, 3 : 3 + njf] = Wf
+    wt = {-1: 0.5, 0: 1.0, 1: 0.5}
+    Wc = np.zeros((3, 3, vsz, vsz, Rc, Cc))
+    Iidx = 2 * np.arange(Rc)
+    Jidx = 2 * np.arange(Cc)
+    for dI in (-1, 0, 1):
+        for dJ in (-1, 0, 1):
+            acc = np.zeros((vsz, vsz, Rc, Cc))
+            for s in (-1, 0, 1):
+                for t in (-1, 0, 1):
+                    for sp in (-1, 0, 1):
+                        a = 2 * dI + sp - s
+                        if abs(a) > 1:
+                            continue
+                        for tp in (-1, 0, 1):
+                            b = 2 * dJ + tp - t
+                            if abs(b) > 1:
+                                continue
+                            w = wt[s] * wt[t] * wt[sp] * wt[tp]
+                            # fine row vertex (2I+s, 2J+t), offset (a, b)
+                            acc += w * Wfull[
+                                1 + a, 1 + b
+                            ][:, :, (Iidx + s + 2)[:, None], (Jidx + t + 2)[None, :]]
+            Wc[1 + dI, 1 + dJ] = acc
+    return Wc[:, :, :, :, 1 : Rc - 1, 1 : Cc - 1]
+
+
+def _var_diag_inv(Wint: np.ndarray, mask: Optional[np.ndarray]) -> np.ndarray:
+    """Per-vertex inverse of the center blocks ``Wint[1, 1]`` —
+    ``(vsz, vsz, R-2, C-2)``; identity where the block vanishes (no active
+    cell ring) or the vertex is masked out."""
+    vsz = Wint.shape[2]
+    D = np.moveaxis(Wint[1, 1], (0, 1), (-2, -1)).copy()  # (R-2, C-2, v, v)
+    dead = np.abs(D).max(axis=(-2, -1)) < 1e-300
+    if mask is not None:
+        dead |= ~np.asarray(mask[1:-1, 1:-1], bool)
+    D[dead] = np.eye(vsz)
+    return np.moveaxis(np.linalg.inv(D), (-2, -1), (0, 1))
+
+
+def _dense_var_coarse_pinv(
+    Wint: np.ndarray, mask: Optional[np.ndarray]
+) -> np.ndarray:
+    """Masked dense pseudo-inverse of the coarsest variable operator.
+    Pseudo-inverse, not inverse: a floating block's coarsest operator is
+    exactly singular (rigid modes) — pinv yields the zero-gauge solve,
+    the MG analogue of MUMPS null-pivot handling."""
+    vsz, ni, nj = Wint.shape[2], Wint.shape[-2], Wint.shape[-1]
+    n = ni * nj * vsz
+    A = np.zeros((n, n))
+    idx = (np.arange(ni)[:, None] * nj + np.arange(nj)[None, :])
+    for a in range(3):
+        for b in range(3):
+            dy, dx = a - 1, b - 1
+            i0, i1 = max(0, -dy), min(ni, ni - dy)
+            j0, j1 = max(0, -dx), min(nj, nj - dx)
+            if i0 >= i1 or j0 >= j1:
+                continue
+            rows = idx[i0:i1, j0:j1].reshape(-1)
+            cols = idx[i0 + dy : i1 + dy, j0 + dx : j1 + dx].reshape(-1)
+            blks = np.moveaxis(
+                Wint[a, b, :, :, i0:i1, j0:j1], (0, 1), (-2, -1)
+            ).reshape(-1, vsz, vsz)
+            np.add.at(
+                A,
+                (
+                    (rows[:, None, None] * vsz + np.arange(vsz)[None, :, None]),
+                    (cols[:, None, None] * vsz + np.arange(vsz)[None, None, :]),
+                ),
+                blks,
+            )
+    if mask is not None:
+        act = np.repeat(np.asarray(mask[1:-1, 1:-1], bool).reshape(-1), vsz)
+        A[~act, :] = 0.0
+        A[:, ~act] = 0.0
+        dd = np.where(~act)[0]
+        A[dd, dd] = 1.0
+    return np.linalg.pinv(A, rcond=1e-10)
+
+
+@dataclasses.dataclass
+class LatticeVarMG:
+    """Variable-stencil (cell-indicator-assembled) block V-cycle on
+    channels-first padded lattices ``(vsz, R+2, C+2)``.
+
+    Same cycle structure as :class:`LatticeBlockMG`, but every level's
+    operator is the exact reduced cell-term operator on the (pooled)
+    covered region — free boundary where coverage ends — instead of the
+    Dirichlet-masked constant stencil.  Use for floating or naturally-
+    bounded blocks (S5's two displacement fields; Neumann/Robin primal
+    bulks).  2D P1 stiffness is scale-free, so each level re-assembles
+    from the SAME element matrices and its own pooled cell indicator."""
+
+    levels: List[_Level]
+    Ws: List[Array]  # per level (3, 3, vsz, vsz, R-2, C-2)
+    Dinvs: List[Array]  # per level (vsz, vsz, R-2, C-2)
+    coarse_inv: Array  # dense pinv on the coarsest interior
+    vsz: int
+    dtype: jnp.dtype = jnp.float32
+    omega: float = 0.8
+    pre_smooth: int = 2
+    post_smooth: int = 2
+    masks: Optional[List[Array]] = None  # per-level (R, C), channel-shared
+
+    def _conv(self, xp: Array, k: int, R: int, C: int) -> Array:
+        W = self.Ws[k].astype(xp.dtype)
+        acc = None
+        for a in range(3):
+            for b in range(3):
+                xs = xp[:, a + 1 : a + R - 1, b + 1 : b + C - 1]
+                part = jnp.einsum("ijrc,jrc->irc", W[a, b], xs)
+                acc = part if acc is None else acc + part
+        return acc
+
+    def _mask_int(self, k: int, R: int, C: int):
+        if self.masks is None:
+            return None
+        return self.masks[k][1 : R - 1, 1 : C - 1]
+
+    def _smooth(self, xp, bp, lvl: _Level, k: int, sweeps: int):
+        R, C = lvl.R, lvl.C
+        om = jnp.asarray(self.omega, xp.dtype)
+        Dinv = self.Dinvs[k].astype(xp.dtype)
+        m = self._mask_int(k, R, C)
+        for _ in range(sweeps):
+            r = bp[:, 2:R, 2:C] - self._conv(xp, k, R, C)
+            upd = om * jnp.einsum("ijrc,jrc->irc", Dinv, r)
+            if m is not None:
+                upd = upd * m
+            xp = xp.at[:, 2:R, 2:C].add(upd)
+        return xp
+
+    def _cycle(self, k: int, bp):
+        lvl = self.levels[k]
+        R, C = lvl.R, lvl.C
+        if k == len(self.levels) - 1:
+            v = bp[:, 2:R, 2:C]
+            flat = jnp.moveaxis(v, 0, -1).reshape(-1)
+            sol = self.coarse_inv.astype(bp.dtype) @ flat
+            v = jnp.moveaxis(sol.reshape(R - 2, C - 2, self.vsz), -1, 0)
+            out = jnp.zeros_like(bp)
+            return out.at[:, 2:R, 2:C].set(v)
+        xp = self._smooth(jnp.zeros_like(bp), bp, lvl, k, self.pre_smooth)
+        r_int = bp[:, 2:R, 2:C] - self._conv(xp, k, R, C)
+        m = self._mask_int(k, R, C)
+        if m is not None:
+            r_int = r_int * m
+        nxt = self.levels[k + 1]
+        bc = jax.vmap(lambda ri: _restrict(ri, nxt.R, nxt.C))(r_int)
+        if self.masks is not None:
+            bc = bc * _embed_mask(self.masks[k + 1], nxt.R, nxt.C)
+        ec = self._cycle(k + 1, bc)
+        corr = jax.vmap(lambda e: _prolong(e, nxt.R, nxt.C))(ec)
+        if self.masks is not None:
+            corr = corr * self.masks[k]
+        xp = xp.at[:, 2:R, 2:C].add(corr[:, 1:-1, 1:-1])
+        return self._smooth(xp, bp, lvl, k, self.post_smooth)
+
+    def __call__(self, bp: Array) -> Array:
+        in_dt = bp.dtype
+        if in_dt != self.dtype:
+            bp = bp.astype(self.dtype)
+        return self._cycle(0, bp).astype(in_dt)
+
+
+def build_lattice_var_mg(
+    grid,
+    contribs,
+    vsz: int,
+    min_n: int = 16,
+    dtype=jnp.float32,
+    mask: Optional[np.ndarray] = None,
+    **kw,
+) -> LatticeVarMG:
+    """Build the variable-stencil V-cycle for cell terms given as
+    ``contribs``: list of ``(mats, covered)`` with element matrices
+    (norient, nloc*vsz, nloc*vsz) and covered-cells bool (num_cells,) OR
+    a prebuilt (norient, ny, nx) indicator.  ``mask``: (ny+1, nx+1)
+    active-vertex bool (pooled per level like :func:`build_lattice_mg`)."""
+    from .stencil import _QUAD_OFFS, _TRI_OFFS
+
+    offs = _TRI_OFFS if grid.is_simplex else (_QUAD_OFFS,)
+    nx, ny = grid.nx, grid.ny
+    levels = [_Level(ny + 1, nx + 1)]
+    while nx % 2 == 0 and ny % 2 == 0 and nx // 2 >= min_n and ny // 2 >= min_n:
+        nx //= 2
+        ny //= 2
+        levels.append(_Level(ny + 1, nx + 1))
+    fine_contribs = []
+    for mats, covered in contribs:
+        covered = np.asarray(covered)
+        if covered.ndim == 1:
+            ind = orientation_cell_masks(grid, covered.astype(bool))
+        else:
+            ind = covered.astype(np.float64)
+        fine_contribs.append((np.asarray(mats), ind))
+    Wint = cell_stencil_maps(fine_contribs, offs, vsz)
+    ni, nj = Wint.shape[-2:]
+    if mask is not None:
+        m0 = np.asarray(mask, bool)
+    else:
+        m0 = np.zeros((levels[0].R, levels[0].C), bool)
+        m0[1:-1, 1:-1] = np.abs(Wint[1, 1]).max(axis=(0, 1)) > 0.0
+    # the fine operator the cycle smooths is the row/column-MASKED stencil
+    # (the bulk block A_BB); coarse operators are its Galerkin (RAP)
+    # coarsenings — re-discretizing from pooled indicators diverges with
+    # depth on free-boundary blocks (see galerkin_coarsen_stencil)
+    mi = m0[1:-1, 1:-1].astype(np.float64)
+    mp = np.pad(mi, 1)
+    Wint = Wint * mi  # rows
+    for a in range(3):
+        for b in range(3):
+            Wint[a, b] *= mp[a : a + ni, b : b + nj]  # columns
+    masks_np: List[np.ndarray] = [m0]
+    Ws, Dinvs = [], []
+    scale = max(1e-300, np.abs(Wint[1, 1]).max())
+    for k, lv in enumerate(levels):
+        if k > 0:
+            Wint = galerkin_coarsen_stencil(Wint, lv.R, lv.C)
+            mk = np.zeros((lv.R, lv.C), bool)
+            mk[1:-1, 1:-1] = (
+                np.abs(Wint[1, 1]).max(axis=(0, 1)) > 1e-12 * scale
+            )
+            masks_np.append(mk)
+            # sanitize: zero sub-threshold rows/cols so the smoother and
+            # the coarse pseudo-inverse see exactly the masked operator
+            mi = mk[1:-1, 1:-1].astype(np.float64)
+            mp = np.pad(mi, 1)
+            Wint = Wint * mi
+            for a in range(3):
+                for b in range(3):
+                    Wint[a, b] *= mp[
+                        a : a + lv.R - 2, b : b + lv.C - 2
+                    ]
+        Ws.append(jnp.asarray(Wint, dtype))
+        Dinvs.append(jnp.asarray(_var_diag_inv(Wint, masks_np[k]), dtype))
+    inv = _dense_var_coarse_pinv(Wint, masks_np[-1])
+    lvl_masks = [jnp.asarray(mm, dtype) for mm in masks_np]
+    return LatticeVarMG(
+        levels, Ws, Dinvs, jnp.asarray(inv, dtype), vsz, dtype=dtype,
         masks=lvl_masks, **kw
     )
 
