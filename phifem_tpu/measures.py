@@ -26,7 +26,12 @@ from .grid import Grid
 
 Array = jnp.ndarray
 
-__all__ = ["FacetSideList", "BoundaryMeasure"]
+__all__ = [
+    "FacetSideList",
+    "BoundaryMeasure",
+    "one_sided_facets",
+    "one_sided_facets_multi",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,12 +68,12 @@ class FacetSideList:
         ).astype(np.int32)
 
 
-def one_sided_facets(
+def _one_sided_facets_host(
     grid: Grid, facet_ids: np.ndarray, cell_tags: np.ndarray, side_tags: tuple
-) -> FacetSideList:
-    """Build a :class:`FacetSideList` choosing, for each facet, the adjacent
-    cell whose tag is in ``side_tags`` (reference ``mesh_scripts.py:156-165``:
-    ``integration_cells`` selection via ``np.isin``)."""
+) -> tuple:
+    """Host half of :func:`one_sided_facets`: select the side cells and
+    return the four numpy arrays (cells, facets, local_facets, signs)
+    ready for a (possibly batched) device upload."""
     facet_ids = np.asarray(facet_ids, np.int32)
     f2c = grid.f2c_np[facet_ids]  # (n, 2)
     tags = np.asarray(cell_tags)
@@ -82,18 +87,46 @@ def one_sided_facets(
     facet_ids = facet_ids[keep]
     chosen = np.where(in0[keep], f2c[keep, 0], f2c[keep, 1])
     signs = np.where(in0[keep], 1.0, -1.0)
+    local_np = grid.local_facet_index_np(chosen, facet_ids)
+    return (
+        chosen.astype(np.int32),
+        facet_ids.astype(np.int32),
+        local_np,
+        signs,
+    )
+
+
+def one_sided_facets(
+    grid: Grid, facet_ids: np.ndarray, cell_tags: np.ndarray, side_tags: tuple
+) -> FacetSideList:
+    """Build a :class:`FacetSideList` choosing, for each facet, the adjacent
+    cell whose tag is in ``side_tags`` (reference ``mesh_scripts.py:156-165``:
+    ``integration_cells`` selection via ``np.isin``)."""
     # ONE batched device_put: separate jnp.asarray uploads each cost a
     # round trip on a remote device (~130 ms for the two S1 measures)
-    local_np = grid.local_facet_index_np(chosen, facet_ids)
     cells, facets, local, signs_j = jax.device_put(
-        (
-            chosen.astype(np.int32),
-            facet_ids.astype(np.int32),
-            local_np,
-            signs,
-        )
+        _one_sided_facets_host(grid, facet_ids, cell_tags, side_tags)
     )
     return FacetSideList(grid, facets, cells, local, signs_j)
+
+
+def one_sided_facets_multi(
+    grid: Grid, specs: Dict[int, tuple], cell_tags: np.ndarray
+) -> Dict[int, FacetSideList]:
+    """Build several one-sided facet sets with a SINGLE batched device
+    upload.  ``specs`` maps subdomain id -> (facet_ids, side_tags); on a
+    remote device each ``device_put`` call costs a full dispatch round
+    trip (~26 ms through a tunneled PJRT client), so the warm re-tag path
+    uploads all measures' entity arrays in one call."""
+    host = {
+        ind: _one_sided_facets_host(grid, fids, cell_tags, side)
+        for ind, (fids, side) in specs.items()
+    }
+    dev = jax.device_put(host)
+    return {
+        ind: FacetSideList(grid, facets, cells, local, signs)
+        for ind, (cells, facets, local, signs) in dev.items()
+    }
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,7 +43,12 @@ import numpy as np
 
 from . import levelset as lsmod
 from .grid import Grid
-from .measures import BoundaryMeasure, FacetSideList, one_sided_facets
+from .measures import (
+    BoundaryMeasure,
+    FacetSideList,
+    one_sided_facets,
+    one_sided_facets_multi,
+)
 
 Array = jnp.ndarray
 LevelSet = lsmod.LevelSet
@@ -487,9 +492,18 @@ def compute_tags_measures(
         # id 100: Gamma_h (tag-4 facets) seen from inside Omega_h (cells 1|2)
         # id 101: interior-boundary facets (tag 3) seen from the cut side
         # (cells 2|3) — reference mesh_scripts.py:617-629.
-        m100 = one_sided_facets(grid, np.where(ft == 4)[0], ct, (1, 2))
-        m101 = one_sided_facets(grid, np.where(ft == 3)[0], ct, (2, 3))
-        measure = BoundaryMeasure({100: m100, 101: m101})
+        # one batched upload for BOTH measures (each device_put call is a
+        # full round trip on a remote device)
+        measure = BoundaryMeasure(
+            one_sided_facets_multi(
+                grid,
+                {
+                    100: (np.where(ft == 4)[0], (1, 2)),
+                    101: (np.where(ft == 3)[0], (2, 3)),
+                },
+                ct,
+            )
+        )
         return TagsMeasures(cells_tags, facets_tags, None, measure, None)
 
     sub = _build_submesh(grid, cells_tags.values, facets_tags.values)

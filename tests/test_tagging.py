@@ -162,6 +162,29 @@ def test_one_sided_square_in_square_tri(deg, discretize):
     assert np.isclose(_one_sided_value(res.boundaries_measure, 101, f), 2.4, atol=1e-12)
 
 
+def test_one_sided_facets_multi_matches_single():
+    # the batched-upload path (one device_put for all measures) must build
+    # exactly the same entity lists as per-measure one_sided_facets
+    from phifem_tpu.measures import one_sided_facets, one_sided_facets_multi
+    from phifem_tpu.tagging import tag_cells, tag_facets
+
+    g = Grid(30, 30, SQUARE, CellType.triangle)
+    ct = np.asarray(tag_cells(g, circle, 1))
+    ft = np.asarray(tag_facets(g, jnp.asarray(ct), circle, 1))
+    specs = {
+        100: (np.where(ft == 4)[0], (1, 2)),
+        101: (np.where(ft == 3)[0], (2, 3)),
+    }
+    multi = one_sided_facets_multi(g, specs, ct)
+    for ind, (fids, side) in specs.items():
+        single = one_sided_facets(g, fids, ct, side)
+        for attr in ("facets", "cells", "local_facets", "signs"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(multi[ind], attr)),
+                np.asarray(getattr(single, attr)),
+            )
+
+
 def test_submesh_mode():
     g = Grid(30, 30, SQUARE, CellType.triangle)
     res = compute_tags_measures(g, circle, 1, box_mode=False)
