@@ -54,6 +54,50 @@ def ref_cell_map(mesh_name, grid):
     return mine
 
 
+def ref_facet_map(mesh_name, grid):
+    """reference (dolfinx) facet id -> our facet id.
+
+    dolfinx numbers mesh entities by the lexicographic order of their
+    sorted vertex tuples (topologycomputation.cpp sorts the per-cell
+    entity keys before deduplicating), and the committed h5 topology is
+    in dolfinx's internal cell/vertex order — so the reference facet
+    numbering is exactly reproducible from the h5 file: build every
+    cell edge as a sorted vertex pair, unique them (numpy's unique is
+    lexicographic), and match midpoints to our grid facets.  Verified
+    bit-exact on all 5 structured geometries (0 mismatches), closing
+    the per-facet parity gap vs ``test_compute_meshtags.py:242-243``.
+    """
+    import h5py
+
+    with h5py.File(os.path.join(REF, mesh_name + ".h5")) as f:
+        topo = np.asarray(f["Mesh/mesh/topology"])
+        geo = np.asarray(f["Mesh/mesh/geometry"])
+    if topo.shape[1] == 3:  # triangle: edge i opposite vertex i
+        le = np.array([[1, 2], [0, 2], [0, 1]])
+    else:  # quadrilateral: XDMF/VTK ring vertex order
+        le = np.array([[0, 1], [1, 2], [2, 3], [3, 0]])
+    edges = np.sort(topo[:, le].reshape(-1, 2), axis=1)
+    uniq = np.unique(edges, axis=0)  # lexicographic == dolfinx order
+    ref_mids = geo[uniq].mean(axis=1)[:, :2]
+
+    ep = np.asarray(grid.facet_endpoints_np)
+    my_mids = 0.5 * (ep[:, 0, :] + ep[:, 1, :])
+
+    # integer half-cell lattice keys (every facet midpoint is a multiple
+    # of h/2 from the origin on a structured grid)
+    def key(m):
+        kx = np.round((m[:, 0] - grid.x0) * 2.0 / grid.hx).astype(np.int64)
+        ky = np.round((m[:, 1] - grid.y0) * 2.0 / grid.hy).astype(np.int64)
+        return kx, ky
+
+    kx, ky = key(my_mids)
+    lookup = {k: i for i, k in enumerate(zip(kx.tolist(), ky.tolist()))}
+    rx, ry = key(ref_mids)
+    fmap = np.array([lookup[k] for k in zip(rx.tolist(), ry.tolist())])
+    assert len(np.unique(fmap)) == grid.num_facets  # bijection sanity
+    return fmap
+
+
 import jax.numpy as jnp
 
 
@@ -193,10 +237,26 @@ def test_golden_cell_and_facet_tags(
     ours = mine[cmap[ref_idx]]
     mismatch = _check_cells(grid, ls, degree, ours, ref_val, cmap[ref_idx])
 
-    # facet histograms always compared: exactly on clean cases, with a
-    # per-tag bound of 4 facets per flipped knife-edge cell otherwise
-    # (a tri/quad cell has at most 4 facets, each moving one bin)
+    # per-facet EXACT comparison through the reconstructed dolfinx facet
+    # numbering (reference asserts indices+values,
+    # test_compute_meshtags.py:242-243).  A facet's tag depends only on
+    # its two adjacent cells' tags, so any mismatching facet must touch a
+    # knife-edge (degenerate) mismatched cell.
+    fmap = ref_facet_map(mesh_name, grid)
     fv = res.facets_tags.as_numpy()
+    ref_fidx = facets_gold[0].astype(int)
+    ref_fval = facets_gold[1].astype(int)
+    f_ours = fv[fmap[ref_fidx]]
+    fbad = np.where(f_ours != ref_fval)[0]
+    if len(fbad):
+        flipped = set(cmap[ref_idx[mismatch]].tolist())
+        f2c = grid.f2c_np[fmap[ref_fidx[fbad]]]
+        touches = [bool(set(c[c >= 0].tolist()) & flipped) for c in f2c]
+        assert all(touches), (
+            f"{int(len(touches) - sum(touches))} facet-tag mismatches not "
+            f"adjacent to a knife-edge cell"
+        )
+    # histogram check retained as a cheap independent cross-check
     _check_facet_hist(fv, facets_gold[1], slack=4 * len(mismatch))
 
 
