@@ -1,0 +1,241 @@
+"""Shared machinery for the hand-built 3D lattice schemes.
+
+The 3D schemes (:mod:`weak_dirichlet3`, :mod:`neumann3`) bypass the
+generic 2D assembly layer: their operators are masked uniform stencils +
+static per-orientation face matrices + batched cut-cell blocks.  This
+module holds the pieces every such scheme needs:
+
+* :func:`equilibrated_solve` — the compiled symmetric-diagonal-
+  equilibrated Krylov runner (the 3D analogue of ``solvers.solve``'s
+  jitted path; penalty rows scale ``h^-3``-class, so equilibration is
+  mandatory, see CLAUDE.md);
+* :func:`hex_quadrature` / :func:`face_quadrature` — trilinear basis
+  tables on the reference hex and its axis-aligned faces;
+* :func:`cell_dofs_of` — closed-form (ne, 8) vertex gather lists.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..solvers import SolveResult, _pbicgstab, _pcg
+
+Array = jnp.ndarray
+
+HEX_OFFS = tuple(
+    (dx, dy, dz) for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+)
+
+
+def float_dtype():
+    from jax import config
+
+    return jnp.float64 if config.jax_enable_x64 else jnp.float32
+
+
+def gauss01(n: int):
+    """n-point Gauss nodes/weights on [0, 1] (weights sum to 1)."""
+    x, w = np.polynomial.legendre.leggauss(n)
+    return 0.5 * (x + 1.0), 0.5 * w
+
+
+def hex_shape(xi: np.ndarray):
+    """Trilinear values (8,) and reference gradients (8, 3) at xi in
+    [0,1]^3 (node order = HEX_OFFS)."""
+    vals = np.empty(8)
+    grads = np.empty((8, 3))
+    for i, (dx, dy, dz) in enumerate(HEX_OFFS):
+        f = np.array(
+            [
+                xi[0] if dx else 1.0 - xi[0],
+                xi[1] if dy else 1.0 - xi[1],
+                xi[2] if dz else 1.0 - xi[2],
+            ]
+        )
+        df = np.array(
+            [1.0 if dx else -1.0, 1.0 if dy else -1.0, 1.0 if dz else -1.0]
+        )
+        vals[i] = f.prod()
+        for k in range(3):
+            grads[i, k] = df[k] * np.prod(np.delete(f, k))
+    return vals, grads
+
+
+def hex_quadrature(npd: int):
+    """(nq,) weights, (nq, 8) values, (nq, 8, 3) ref gradients of the
+    npd^3 tensor Gauss rule on [0,1]^3."""
+    g, w = gauss01(npd)
+    W, V, G = [], [], []
+    for gz, wz in zip(g, w):
+        for gy, wy in zip(g, w):
+            for gx, wx in zip(g, w):
+                vals, grads = hex_shape(np.array([gx, gy, gz]))
+                W.append(wx * wy * wz)
+                V.append(vals)
+                G.append(grads)
+    return np.asarray(W), np.asarray(V), np.asarray(G)
+
+
+def face_quadrature(ax_lat: int, at_upper: bool, npd: int = 2):
+    """Quadrature on the hex face normal to lattice axis ``ax_lat``
+    (0=z, 1=y, 2=x): (nq,) weights, (nq, 8) values, (nq, 8, 3) ref
+    gradients, and the physical coordinate index the face is normal to."""
+    k_phys = {0: 2, 1: 1, 2: 0}[ax_lat]
+    g, w = gauss01(npd)
+    W, V, G = [], [], []
+    for ga, wa in zip(g, w):
+        for gb, wb in zip(g, w):
+            xi = np.empty(3)
+            xi[k_phys] = 1.0 if at_upper else 0.0
+            t = [i for i in range(3) if i != k_phys]
+            xi[t[0]], xi[t[1]] = ga, gb
+            vals, grads = hex_shape(xi)
+            W.append(wa * wb)
+            V.append(vals)
+            G.append(grads)
+    return np.asarray(W), np.asarray(V), np.asarray(G), k_phys
+
+
+def cell_dofs_of(lattice_shape: Tuple[int, int, int], cells: np.ndarray):
+    """(ne, 8) int flat vertex ids of hex cells given as (ne, 3)
+    (iz, iy, ix) — node order = HEX_OFFS."""
+    D, R, C = lattice_shape
+    out = np.empty((cells.shape[0], 8), np.int64)
+    for i, (dx, dy, dz) in enumerate(HEX_OFFS):
+        out[:, i] = (
+            (cells[:, 0] + dz) * R + cells[:, 1] + dy
+        ) * C + cells[:, 2] + dx
+    return out
+
+
+def make_equilibrated_runner(
+    matvec: Callable[[Dict[str, Array]], Dict[str, Array]],
+    diag: Dict[str, Array],
+    active: Dict[str, Array],
+    method: str = "bicgstab",
+    tol: float = 1e-10,
+    maxiter: int = 4000,
+    precond: Optional[Callable] = None,
+):
+    """Compile ``run(b) -> (x, [rel_residual, iterations])``: symmetric
+    diagonal equilibration, identity on inactive DoFs, one packed stats
+    fetch (solvers.solve's discipline on pytree lattice operators)."""
+
+    @jax.jit
+    def run(b):
+        dsqrt = jax.tree.map(lambda d: jnp.sqrt(jnp.abs(d)), diag)
+        dinv = jax.tree.map(lambda d: 1.0 / d, dsqrt)
+
+        def mv(y):
+            xs = jax.tree.map(
+                lambda yi, di, m: jnp.where(m, yi * di, 0.0), y, dinv, active
+            )
+            z = matvec(xs)
+            return jax.tree.map(
+                lambda zi, di, yi, m: jnp.where(m, zi * di, yi),
+                z, dinv, y, active,
+            )
+
+        b_eq = jax.tree.map(
+            lambda bi, di, m: jnp.where(m, bi * di, 0.0), b, dinv, active
+        )
+        if precond is not None:
+            M = lambda r: jax.tree.map(
+                lambda vi, di: vi * di,
+                precond(jax.tree.map(lambda ri, di: ri * di, r, dsqrt)),
+                dsqrt,
+            )
+        else:
+            M = lambda r: r
+        x0 = jax.tree.map(jnp.zeros_like, b_eq)
+        runner = _pcg if method == "cg" else _pbicgstab
+        x, it = runner(mv, b_eq, x0, tol=tol, atol=0.0, maxiter=maxiter, M=M)
+        r = jax.tree.map(lambda bi, ai: bi - ai, b_eq, mv(x))
+        rn = jnp.sqrt(sum(jnp.vdot(v, v).real for v in jax.tree.leaves(r)))
+        bn = jnp.sqrt(sum(jnp.vdot(v, v).real for v in jax.tree.leaves(b_eq)))
+        x = jax.tree.map(lambda yi, di: yi * di, x, dinv)
+        return x, jnp.stack(
+            [rn / jnp.maximum(bn, 1e-300), it.astype(rn.dtype)]
+        )
+
+    return run
+
+
+def cached_equilibrated_solve(
+    scheme,
+    method: str,
+    tol: float,
+    maxiter: int,
+    precond: Optional[Callable],
+) -> Tuple[Dict[str, Array], float, int]:
+    """Memoized compiled solve on a scheme exposing ``matvec``/``diag``/
+    ``active``/``b`` — returns (x, rel_residual, iterations)."""
+    key = (method, float(tol), int(maxiter), id(precond))
+    cache = getattr(scheme, "_solve_cache", None)
+    if cache is None:
+        cache = scheme._solve_cache = {}
+    run = cache.get(key)
+    if run is None:
+        run = cache[key] = make_equilibrated_runner(
+            scheme.matvec, scheme.diag, scheme.active,
+            method=method, tol=tol, maxiter=maxiter, precond=precond,
+        )
+    x, stats = run(scheme.b)
+    stats = np.asarray(stats)
+    return x, float(stats[0]), int(stats[1])
+
+
+def lattice_l2_h1_errors(
+    grid, region_mask: np.ndarray, u_lat: Array, exact: Callable
+) -> Dict[str, float]:
+    """Relative L2/H10 errors of a scalar lattice field vs a callable, by
+    2x2x2 cellwise Gauss quadrature over the masked cells (dense masked
+    lattice sums — no per-cell gathers)."""
+    dt = float_dtype()
+    hx, hy, hz = grid.spacing
+    W, V, G = hex_quadrature(2)
+    mask = jnp.asarray(region_mask.astype(np.float64), dt)
+    nz, ny, nx = mask.shape
+    D, R, C = grid.lattice_shape
+    x, y, z = grid.vertex_coords_lattice(dt)
+    x0 = jnp.broadcast_to(x, (D, R, C))[:nz, :ny, :nx]
+    y0 = jnp.broadcast_to(y, (D, R, C))[:nz, :ny, :nx]
+    z0 = jnp.broadcast_to(z, (D, R, C))[:nz, :ny, :nx]
+    corners = [
+        u_lat[dz : dz + nz, dy : dy + ny, dx : dx + nx]
+        for (dx, dy, dz) in HEX_OFFS
+    ]
+    pts, wts = [], []
+    g1, w1 = gauss01(2)
+    for qz, wz in zip(g1, w1):
+        for qy, wy in zip(g1, w1):
+            for qx, wx in zip(g1, w1):
+                pts.append((qx, qy, qz))
+                wts.append(wx * wy * wz)
+    num_l2 = den_l2 = num_h1 = den_h1 = jnp.asarray(0.0, dt)
+    for (qx, qy, qz), wq3, Vq, Gq in zip(pts, wts, V, G):
+        Nq = jnp.asarray(Vq, dt)
+        Gd = jnp.asarray(Gq, dt) / np.array([hx, hy, hz])[None, :]
+        uq = sum(Nq[i] * corners[i] for i in range(8))
+        px = x0 + qx * hx
+        py = y0 + qy * hy
+        pz = z0 + qz * hz
+        pe = jnp.stack([px, py, pz], axis=-1)
+        ue = exact(pe)
+        ge = jax.vmap(
+            jax.vmap(jax.vmap(jax.grad(lambda p: exact(p[None])[0])))
+        )(pe)
+        num_l2 += wq3 * jnp.sum(mask * (uq - ue) ** 2)
+        den_l2 += wq3 * jnp.sum(mask * ue**2)
+        for k in range(3):
+            gk = sum(Gd[i, k] * corners[i] for i in range(8))
+            num_h1 += wq3 * jnp.sum(mask * (gk - ge[..., k]) ** 2)
+            den_h1 += wq3 * jnp.sum(mask * ge[..., k] ** 2)
+    return {
+        "l2": float(jnp.sqrt(num_l2 / den_l2)),
+        "h10": float(jnp.sqrt(num_h1 / den_h1)),
+    }

@@ -35,84 +35,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..grid3 import Grid3
-from ..solvers import SolveResult, _pbicgstab, _pcg
+from ..solvers import SolveResult
 from ..tagging3 import Tags3, compute_tags3
-
-Array = jnp.ndarray
-
-_HEX_OFFS = tuple(
-    (dx, dy, dz) for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+from .lattice_core import (
+    HEX_OFFS as _HEX_OFFS,
+    cached_equilibrated_solve,
+    cell_dofs_of,
+    face_quadrature as _face_tables,
+    float_dtype as _float_dtype,
+    gauss01 as _gauss01,
+    hex_quadrature as _hex_tables,
+    hex_shape as _shape,
+    lattice_l2_h1_errors,
 )
 
-
-def _float_dtype():
-    from jax import config
-
-    return jnp.float64 if config.jax_enable_x64 else jnp.float32
-
-
-def _gauss01(n: int):
-    """n-point Gauss nodes/weights on [0, 1] (weights sum to 1)."""
-    x, w = np.polynomial.legendre.leggauss(n)
-    return 0.5 * (x + 1.0), 0.5 * w
-
-
-def _shape(xi: np.ndarray):
-    """Trilinear values (8,) and reference gradients (8, 3) at xi in
-    [0,1]^3 (node order = _HEX_OFFS)."""
-    vals = np.empty(8)
-    grads = np.empty((8, 3))
-    for i, (dx, dy, dz) in enumerate(_HEX_OFFS):
-        f = np.array(
-            [
-                xi[0] if dx else 1.0 - xi[0],
-                xi[1] if dy else 1.0 - xi[1],
-                xi[2] if dz else 1.0 - xi[2],
-            ]
-        )
-        df = np.array(
-            [1.0 if dx else -1.0, 1.0 if dy else -1.0, 1.0 if dz else -1.0]
-        )
-        vals[i] = f.prod()
-        for k in range(3):
-            grads[i, k] = df[k] * np.prod(np.delete(f, k))
-    return vals, grads
-
-
-def _hex_tables(npd: int):
-    """(nq,) weights, (nq, 8) values, (nq, 8, 3) ref gradients at the
-    npd^3 tensor Gauss rule on [0,1]^3."""
-    g, w = _gauss01(npd)
-    W, V, G = [], [], []
-    for gz, wz in zip(g, w):
-        for gy, wy in zip(g, w):
-            for gx, wx in zip(g, w):
-                vals, grads = _shape(np.array([gx, gy, gz]))
-                W.append(wx * wy * wz)
-                V.append(vals)
-                G.append(grads)
-    return np.asarray(W), np.asarray(V), np.asarray(G)
-
-
-def _face_tables(ax_lat: int, at_upper: bool, npd: int = 2):
-    """Quadrature tables on the hex face normal to lattice axis ``ax_lat``
-    (0=z, 1=y, 2=x): (nq,) weights, (nq, 8) values, (nq, 8, 3) ref grads,
-    evaluated at xi_k = 1 (upper face) or 0."""
-    k_phys = {0: 2, 1: 1, 2: 0}[ax_lat]  # lattice z/y/x -> coord index
-    g, w = _gauss01(npd)
-    W, V, G = [], [], []
-    for ga, wa in zip(g, w):
-        for gb, wb in zip(g, w):
-            xi = np.empty(3)
-            xi[k_phys] = 1.0 if at_upper else 0.0
-            t = [i for i in range(3) if i != k_phys]
-            xi[t[0]], xi[t[1]] = ga, gb
-            vals, grads = _shape(xi)
-            W.append(wa * wb)
-            V.append(vals)
-            G.append(grads)
-    return np.asarray(W), np.asarray(V), np.asarray(G), k_phys
-
+Array = jnp.ndarray
 
 @dataclasses.dataclass
 class WeakDirichletPoisson3:
@@ -266,13 +203,7 @@ class WeakDirichletPoisson3:
 
     def _cell_dofs(self, cells: np.ndarray) -> np.ndarray:
         """(ne, 8) int flat vertex indices of cells (ne, 3) = (iz, iy, ix)."""
-        D, R, C = self.grid.lattice_shape
-        out = np.empty((cells.shape[0], 8), np.int64)
-        for i, (dx, dy, dz) in enumerate(_HEX_OFFS):
-            out[:, i] = (
-                (cells[:, 0] + dz) * R + cells[:, 1] + dy
-            ) * C + cells[:, 2] + dx
-        return out
+        return cell_dofs_of(self.grid.lattice_shape, cells)
 
     # --------------------------------------------- lattice stencil pieces
     def _masked_stencil_apply(self, X: Array, A8: Array, mask: Array) -> Array:
@@ -336,64 +267,10 @@ class WeakDirichletPoisson3:
         precond=None,
     ) -> SolveResult:
         """Equilibrated Krylov with identity on inactive DoFs — the 3D
-        analogue of solvers.solve's jitted runner."""
-        key = (method, float(tol), int(maxiter), id(precond))
-        cache = getattr(self, "_solve_cache", None)
-        if cache is None:
-            cache = self._solve_cache = {}
-        run = cache.get(key)
-        if run is None:
-            active, diag = self.active, self.diag
-
-            @jax.jit
-            def run(b):
-                dsqrt = jax.tree.map(lambda d: jnp.sqrt(jnp.abs(d)), diag)
-                dinv = jax.tree.map(lambda d: 1.0 / d, dsqrt)
-
-                def mv(y):
-                    xs = jax.tree.map(
-                        lambda yi, di, m: jnp.where(m, yi * di, 0.0),
-                        y, dinv, active,
-                    )
-                    z = self.matvec(xs)
-                    return jax.tree.map(
-                        lambda zi, di, yi, m: jnp.where(m, zi * di, yi),
-                        z, dinv, y, active,
-                    )
-
-                b_eq = jax.tree.map(
-                    lambda bi, di, m: jnp.where(m, bi * di, 0.0),
-                    b, dinv, active,
-                )
-                if precond is not None:
-                    M = lambda r: jax.tree.map(
-                        lambda vi, di: vi * di,
-                        precond(
-                            jax.tree.map(lambda ri, di: ri * di, r, dsqrt)
-                        ),
-                        dsqrt,
-                    )
-                else:
-                    M = lambda r: r
-                x0 = jax.tree.map(jnp.zeros_like, b_eq)
-                runner = _pcg if method == "cg" else _pbicgstab
-                x, it = runner(
-                    mv, b_eq, x0, tol=tol, atol=0.0, maxiter=maxiter, M=M
-                )
-                r = jax.tree.map(lambda bi, ai: bi - ai, b_eq, mv(x))
-                rn = jnp.sqrt(
-                    sum(jnp.vdot(v, v).real for v in jax.tree.leaves(r))
-                )
-                bn = jnp.sqrt(
-                    sum(jnp.vdot(v, v).real for v in jax.tree.leaves(b_eq))
-                )
-                x = jax.tree.map(lambda yi, di: yi * di, x, dinv)
-                return x, jnp.stack([rn / jnp.maximum(bn, 1e-300), it.astype(rn.dtype)])
-
-            cache[key] = run
-        x, stats = run(self.b)
-        stats = np.asarray(stats)
-        rel, it = float(stats[0]), int(stats[1])
+        analogue of solvers.solve's jitted runner (lattice_core)."""
+        x, rel, it = cached_equilibrated_solve(
+            self, method, tol, maxiter, precond
+        )
         self.u_lat = x["u"].reshape(self._DRC)
         self.result = SolveResult(
             x=x, residual=rel, iterations=it, converged=rel <= 10 * tol
@@ -634,51 +511,7 @@ class WeakDirichletPoisson3:
     # ------------------------------------------------------------- errors
     def l2_h1_errors(self, exact: Callable, region=(1, 2)) -> Dict[str, float]:
         """Relative L2/H10 errors of u_h vs a callable, by 2x2x2 cellwise
-        quadrature over the region cells (dense masked lattice sums)."""
-        g = self.grid
-        dt = _float_dtype()
-        hx, hy, hz = g.spacing
-        vol = hx * hy * hz
-        W, V, G = _hex_tables(2)
-        mask = jnp.asarray(self.tags.region_mask(region).astype(np.float64), dt)
-        nz, ny, nx = mask.shape
-        D, R, C = self._DRC
-        uh = self.u_lat
-        x, y, z = g.vertex_coords_lattice(dt)
-        x0 = jnp.broadcast_to(x, (D, R, C))[:nz, :ny, :nx]
-        y0 = jnp.broadcast_to(y, (D, R, C))[:nz, :ny, :nx]
-        z0 = jnp.broadcast_to(z, (D, R, C))[:nz, :ny, :nx]
-        corners = [
-            uh[dz : dz + nz, dy : dy + ny, dx : dx + nx]
-            for (dx, dy, dz) in _HEX_OFFS
-        ]
-        pts, wts = [], []
-        g1, w1 = _gauss01(2)
-        for qz, wz in zip(g1, w1):
-            for qy, wy in zip(g1, w1):
-                for qx, wx in zip(g1, w1):
-                    pts.append((qx, qy, qz))
-                    wts.append(wx * wy * wz)
-        num_l2 = den_l2 = num_h1 = den_h1 = jnp.asarray(0.0, dt)
-        for (qx, qy, qz), wq3, Vq, Gq in zip(pts, wts, V, G):
-            Nq = jnp.asarray(Vq, dt)
-            Gd = jnp.asarray(Gq, dt) / np.array([hx, hy, hz])[None, :]
-            uq = sum(Nq[i] * corners[i] for i in range(8))
-            px = x0 + qx * hx
-            py = y0 + qy * hy
-            pz = z0 + qz * hz
-            pe = jnp.stack([px, py, pz], axis=-1)
-            ue = exact(pe)
-            ge = jax.vmap(
-                jax.vmap(jax.vmap(jax.grad(lambda p: exact(p[None])[0])))
-            )(pe)
-            num_l2 += wq3 * jnp.sum(mask * (uq - ue) ** 2)
-            den_l2 += wq3 * jnp.sum(mask * ue**2)
-            for k in range(3):
-                gk = sum(Gd[i, k] * corners[i] for i in range(8))
-                num_h1 += wq3 * jnp.sum(mask * (gk - ge[..., k]) ** 2)
-                den_h1 += wq3 * jnp.sum(mask * ge[..., k] ** 2)
-        return {
-            "l2": float(jnp.sqrt(num_l2 / den_l2)),
-            "h10": float(jnp.sqrt(num_h1 / den_h1)),
-        }
+        quadrature over the region cells (lattice_core)."""
+        return lattice_l2_h1_errors(
+            self.grid, self.tags.region_mask(region), self.u_lat, exact
+        )
