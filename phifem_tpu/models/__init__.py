@@ -18,6 +18,7 @@ from .robin import RobinPoisson
 from .interface_elasticity import InterfaceElasticity
 from .poisson import BoxPoisson
 from .poisson3 import BoxPoisson3
+from .neumann3 import NeumannPoisson3
 from .weak_dirichlet3 import WeakDirichletPoisson3
 
 __all__ = [
@@ -28,5 +29,6 @@ __all__ = [
     "InterfaceElasticity",
     "BoxPoisson",
     "BoxPoisson3",
+    "NeumannPoisson3",
     "WeakDirichletPoisson3",
 ]

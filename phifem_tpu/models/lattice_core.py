@@ -80,6 +80,18 @@ def hex_quadrature(npd: int):
     return np.asarray(W), np.asarray(V), np.asarray(G)
 
 
+def hex_quadrature_points(npd: int) -> np.ndarray:
+    """(nq, 3) reference coordinates (x, y, z in [0,1]) of the npd^3
+    tensor Gauss rule, ordered to match :func:`hex_quadrature`."""
+    g, _ = gauss01(npd)
+    P = []
+    for gz in g:
+        for gy in g:
+            for gx in g:
+                P.append((gx, gy, gz))
+    return np.asarray(P)
+
+
 def face_quadrature(ax_lat: int, at_upper: bool, npd: int = 2):
     """Quadrature on the hex face normal to lattice axis ``ax_lat``
     (0=z, 1=y, 2=x): (nq,) weights, (nq, 8) values, (nq, 8, 3) ref
