@@ -330,6 +330,40 @@ def test_golden_submesh_tags(
         len(mismatch), abs(len(sm.cells) - len(ref_omega))
     ) if len(mismatch) or len(sm.cells) != len(ref_omega) else 0)
 
+    # per-facet EXACT submesh comparison (clean cases): dolfinx
+    # create_submesh renumbers vertices monotonically, so submesh facet
+    # order is the lexicographic order of sorted PARENT vertex pairs —
+    # reconstructable from the h5 exactly like ref_facet_map.
+    if len(mismatch) == 0 and len(sm.cells) == len(ref_omega):
+        import h5py
+
+        with h5py.File(os.path.join(REF, mesh_name + ".h5")) as f:
+            topo = np.asarray(f["Mesh/mesh/topology"])
+            geo = np.asarray(f["Mesh/mesh/geometry"])
+        if topo.shape[1] == 3:
+            le = np.array([[1, 2], [0, 2], [0, 1]])
+        else:
+            le = np.array([[0, 1], [1, 2], [2, 3], [3, 0]])
+        edges = np.sort(topo[ref_omega][:, le].reshape(-1, 2), axis=1)
+        uniq = np.unique(edges, axis=0)  # == ref submesh facet order
+        ref_mids = geo[uniq].mean(axis=1)[:, :2]
+        assert len(uniq) == len(np.asarray(sm.facets))
+
+        ep = np.asarray(grid.facet_endpoints_np)
+        my_mids = 0.5 * (ep[:, 0, :] + ep[:, 1, :])
+        kx = np.round((my_mids[:, 0] - grid.x0) * 2 / grid.hx).astype(np.int64)
+        ky = np.round((my_mids[:, 1] - grid.y0) * 2 / grid.hy).astype(np.int64)
+        lookup = {k: i for i, k in enumerate(zip(kx.tolist(), ky.tolist()))}
+        rx = np.round((ref_mids[:, 0] - grid.x0) * 2 / grid.hx).astype(np.int64)
+        ry = np.round((ref_mids[:, 1] - grid.y0) * 2 / grid.hy).astype(np.int64)
+        parent_fids = np.array([lookup[k] for k in zip(rx.tolist(), ry.tolist())])
+
+        sub_facets = np.asarray(sm.facets)
+        order = np.argsort(sub_facets)
+        pos = order[np.searchsorted(sub_facets[order], parent_fids)]
+        assert (sub_facets[pos] == parent_fids).all()
+        np.testing.assert_array_equal(fv[pos], facets_gold[1].astype(fv.dtype))
+
 
 def test_no_exterior_cells_boundary_fallback():
     """Pins the no-exterior-cells facet fallback (tagging.py boundary rules)
