@@ -19,6 +19,7 @@ from .interface_elasticity import InterfaceElasticity
 from .poisson import BoxPoisson
 from .poisson3 import BoxPoisson3
 from .neumann3 import NeumannPoisson3
+from .robin3 import RobinPoisson3
 from .weak_dirichlet3 import WeakDirichletPoisson3
 
 __all__ = [
@@ -30,5 +31,6 @@ __all__ = [
     "BoxPoisson",
     "BoxPoisson3",
     "NeumannPoisson3",
+    "RobinPoisson3",
     "WeakDirichletPoisson3",
 ]

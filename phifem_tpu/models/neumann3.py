@@ -150,20 +150,16 @@ class NeumannPoisson3:
         phi_q = ls(pts)  # (ne, nq)
         gphi = jax.vmap(jax.vmap(jax.grad(lambda p: ls(p[None])[0])))(pts)
         ne = cut_np.shape[0]
-        F3 = jnp.zeros((ne, nq, _NLOC), dt)
-        for c in range(3):
-            F3 = F3.at[:, :, 8 + 8 * c : 16 + 8 * c].set(
-                gphi[:, :, c : c + 1] * Vt[None, :, :]
-            )
-        F3 = F3.at[:, :, 32].set(phi_q / h)
+        F3 = self._build_flux_factor(Vt, phi_q, gphi, h, ne, nq, dt)
         self.E_phi = (pen / h**2) * vol * jnp.einsum(
             "nqi,q,nqj->nij", F3, Wt, F3
         )
 
         # ---- ghost faces: static (16, 16) jump matrices per lattice axis
         self.ghost = []
+        ghost_lists = self._ghost_face_lists()
         for ax in range(3):
-            faces = self.tags.ghost_faces[ax]
+            faces = ghost_lists[ax]
             if faces.shape[0] == 0:
                 continue
             Wf, V0, G0, k = face_quadrature(ax, at_upper=True)
@@ -250,6 +246,23 @@ class NeumannPoisson3:
         }
         self.active = active
         return self
+
+    # --------------------------------------------------------- overridables
+    def _build_flux_factor(self, Vt, phi_q, gphi, h, ne, nq, dt) -> Array:
+        """(ne, nq, 33) coefficient table of the penalized flux factor
+        ``y . grad phi + h^-1 p phi`` (S4 overrides to add the Robin
+        ``-|grad phi| alpha u`` slot, models/robin.py:60-68)."""
+        F3 = jnp.zeros((ne, nq, _NLOC), dt)
+        for c in range(3):
+            F3 = F3.at[:, :, 8 + 8 * c : 16 + 8 * c].set(
+                gphi[:, :, c : c + 1] * Vt[None, :, :]
+            )
+        return F3.at[:, :, 32].set(phi_q / h)
+
+    def _ghost_face_lists(self):
+        """Per-lattice-axis ghost-face index lists; S3 stabilizes every
+        Omega_h face touching a cut cell (the 2D dS(3) analogue)."""
+        return self.tags.ghost_faces
 
     # ------------------------------------------------------------- matvec
     def matvec(self, x: Dict[str, Array]) -> Dict[str, Array]:

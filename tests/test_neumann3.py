@@ -80,3 +80,26 @@ def test_neumann3_flux_field_consistency():
             num += W[q] * np.sum((yq + gq) ** 2)
             den += W[q] * np.sum(gq**2)
     assert np.sqrt(num / den) < 0.2, np.sqrt(num / den)
+
+
+def test_robin3_convergence():
+    """3D Robin (S4 z-extension): du/dn + alpha u = u_R on the sphere."""
+    from phifem_tpu.models.robin3 import RobinPoisson3
+
+    alpha = 1.0
+
+    def robin_data(x):
+        return u_neumann(x) + alpha * u_ex(x)
+
+    errs = []
+    for n in (8, 16):
+        g = Grid3(n, n, n, BOX)
+        s = RobinPoisson3(g, robin_coef=alpha)
+        s.setup(phi_sphere, f_helmholtz, robin_data)
+        s.assemble()
+        r = s.solve(tol=1e-10, maxiter=30000)
+        assert r.converged, (n, r.residual, r.iterations)
+        errs.append(s.l2_h1_errors(u_ex))
+    rate = np.log2(errs[0]["l2"] / errs[1]["l2"])
+    assert errs[1]["l2"] < 0.05, errs
+    assert rate > 1.3, errs
