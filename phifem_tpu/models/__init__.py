@@ -20,6 +20,7 @@ from .poisson import BoxPoisson
 from .poisson3 import BoxPoisson3
 from .neumann3 import NeumannPoisson3
 from .robin3 import RobinPoisson3
+from .strong_dirichlet3 import StrongDirichletPoisson3
 from .weak_dirichlet3 import WeakDirichletPoisson3
 
 __all__ = [
@@ -32,5 +33,6 @@ __all__ = [
     "BoxPoisson3",
     "NeumannPoisson3",
     "RobinPoisson3",
+    "StrongDirichletPoisson3",
     "WeakDirichletPoisson3",
 ]

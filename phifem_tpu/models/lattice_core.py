@@ -112,6 +112,22 @@ def face_quadrature(ax_lat: int, at_upper: bool, npd: int = 2):
     return np.asarray(W), np.asarray(V), np.asarray(G), k_phys
 
 
+def face_quadrature_points(ax_lat: int, at_upper: bool, npd: int = 2):
+    """(nqf, 3) reference coordinates of the face rule, ordered to match
+    :func:`face_quadrature`."""
+    k_phys = {0: 2, 1: 1, 2: 0}[ax_lat]
+    g, _ = gauss01(npd)
+    P = []
+    for ga in g:
+        for gb in g:
+            xi = np.empty(3)
+            xi[k_phys] = 1.0 if at_upper else 0.0
+            t = [i for i in range(3) if i != k_phys]
+            xi[t[0]], xi[t[1]] = ga, gb
+            P.append(xi.copy())
+    return np.asarray(P)
+
+
 def cell_dofs_of(lattice_shape: Tuple[int, int, int], cells: np.ndarray):
     """(ne, 8) int flat vertex ids of hex cells given as (ne, 3)
     (iz, iy, ix) — node order = HEX_OFFS."""
