@@ -1,0 +1,120 @@
+"""3D phi-FEM demo — Poisson problems on a sphere immersed in a hex box.
+
+The reference framework is 2D-only; this demo exercises the z-axis
+extension: all four scheme families on the same sphere geometry.
+
+    python demo/poisson3d/main.py weak|strong|neumann|robin [--n 32]
+
+Prints relative L2/H10 errors vs the analytic solution, Krylov iteration
+counts, and writes a VTI (VTK ImageData) volume for ParaView.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+
+from phifem_tpu.grid3 import Grid3
+from phifem_tpu.models import (
+    NeumannPoisson3,
+    RobinPoisson3,
+    StrongDirichletPoisson3,
+    WeakDirichletPoisson3,
+)
+from phifem_tpu.utils import Timer
+
+R0 = 0.7
+BOX = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
+
+
+def phi(x):
+    return x[..., 0] ** 2 + x[..., 1] ** 2 + x[..., 2] ** 2 - R0**2
+
+
+def u_smooth(x):
+    return jnp.cos(x[..., 0]) * jnp.exp((x[..., 1] + x[..., 2]) / 2.0)
+
+
+def du_dn(x):
+    shape = x.shape[:-1]
+    p = x.reshape(-1, 3)
+    g = jax.vmap(jax.grad(lambda q: u_smooth(q[None])[0]))(p)
+    n = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-12)
+    return jnp.sum(g * n, axis=-1).reshape(shape)
+
+
+def u_product(x):
+    return phi(x) * jnp.cos(x[..., 0] + 0.5 * x[..., 1] - 0.25 * x[..., 2])
+
+
+def neg_lap(u):
+    def f(x):
+        shape = x.shape[:-1]
+        p = x.reshape(-1, 3)
+        H = jax.vmap(jax.hessian(lambda q: u(q[None])[0]))(p)
+        return -jnp.trace(H, axis1=-2, axis2=-1).reshape(shape)
+
+    return f
+
+
+def main():
+    ap = argparse.ArgumentParser(prog="main.py", description="3D phi-FEM demo.")
+    ap.add_argument("scheme", choices=["weak", "strong", "neumann", "robin"])
+    ap.add_argument("--n", type=int, default=32)
+    ap.add_argument("--tol", type=float, default=1e-10)
+    ap.add_argument("--maxiter", type=int, default=20000)
+    args = ap.parse_args()
+
+    g = Grid3(args.n, args.n, args.n, BOX)
+    timer = Timer()
+
+    with timer.phase("setup+assemble"):
+        if args.scheme == "weak":
+            uex = u_smooth
+            s = WeakDirichletPoisson3(g).setup(phi, neg_lap(u_smooth), u_D=u_smooth)
+        elif args.scheme == "strong":
+            uex = u_product
+            s = StrongDirichletPoisson3(g).setup(phi, neg_lap(u_product))
+        elif args.scheme == "neumann":
+            uex = u_smooth
+            f = lambda x: neg_lap(u_smooth)(x) + u_smooth(x)
+            s = NeumannPoisson3(g).setup(phi, f, du_dn)
+        else:  # robin
+            uex = u_smooth
+            f = lambda x: neg_lap(u_smooth)(x) + u_smooth(x)
+            robin = lambda x: du_dn(x) + u_smooth(x)
+            s = RobinPoisson3(g, robin_coef=1.0).setup(phi, f, robin)
+        s.assemble()
+
+    with timer.phase("solve"):
+        kw = {}
+        if args.scheme == "weak":
+            kw["precond"] = s.lattice_preconditioner()
+        r = s.solve(tol=args.tol, maxiter=args.maxiter, **kw)
+
+    print(f"iters {r.iterations} residual {r.residual:.2e} converged={r.converged}")
+    errs = s.l2_h1_errors(uex)
+    print(f"Relative L2 error: {errs['l2']:.6e}")
+    print(f"Relative H10 error: {errs['h10']:.6e}")
+    print(timer.report())
+
+    out = os.path.join(os.path.dirname(__file__), args.scheme + "_output")
+    os.makedirs(out, exist_ok=True)
+    try:
+        from phifem_tpu.utils.io import write_vti
+
+        write_vti(
+            os.path.join(out, "solution.vti"),
+            g,
+            point_data={"u": s.u_lat},
+        )
+    except Exception as e:  # VTI writer is best-effort in the demo
+        print("vti write skipped:", e)
+
+
+if __name__ == "__main__":
+    main()

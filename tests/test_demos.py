@@ -47,3 +47,10 @@ def test_neumann_square_cli(mode):
 def test_interface_elasticity_quick_cli():
     out = _run("demo/interface-elasticity/main.py", "param_quick")
     assert "slope" in out.lower(), out[-500:]
+
+
+@pytest.mark.parametrize("scheme", ["weak", "strong", "neumann", "robin"])
+def test_poisson3d_cli(scheme):
+    out = _run("demo/poisson3d/main.py", scheme, "--n", "8")
+    assert "converged=True" in out, out[-500:]
+    assert "Relative L2 error" in out, out[-500:]
