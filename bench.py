@@ -310,7 +310,11 @@ def bench_s5(n: int) -> dict:
     t_setup = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    vc = s.lattice_preconditioner()
+    # flat var-MG + rigid-mode preconditioner: the coupled multilevel
+    # hierarchy compiles ~10x more distinct kernels and has wedged remote
+    # compiles through the tunnel for >75 min at n>=30 (CLAUDE.md); the
+    # flat path converges in ~80 iterations at n=128 and compiles fast
+    vc = s.lattice_preconditioner(coupled=False)
     t_mg = time.perf_counter() - t0
 
     tol = float(os.environ.get("PHIFEM_BENCH_TOL", "1e-8"))
