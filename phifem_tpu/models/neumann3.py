@@ -46,6 +46,7 @@ from .lattice_core import (
     face_quadrature,
     float_dtype,
     hex_quadrature,
+    hex_quadrature_points,
     lattice_l2_h1_errors,
 )
 
@@ -131,8 +132,6 @@ class NeumannPoisson3:
         # with phi/grad phi ANALYTIC at the quadrature points (see setup)
         Vt = jnp.asarray(V, dt)
         Wt = jnp.asarray(W, dt)
-        from .lattice_core import hex_quadrature_points
-
         Pq = hex_quadrature_points(3)  # (nq, 3) ref coords (x, y, z)
         (x0, y0, z0), _ = g.bbox
         orig = np.stack(

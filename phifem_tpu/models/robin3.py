@@ -22,7 +22,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from .neumann3 import NeumannPoisson3
+from .neumann3 import _NLOC, NeumannPoisson3
 
 Array = jnp.ndarray
 
@@ -35,7 +35,7 @@ class RobinPoisson3(NeumannPoisson3):
 
     def _build_flux_factor(self, Vt, phi_q, gphi, h, ne, nq, dt) -> Array:
         ngphi = jnp.sqrt(jnp.sum(gphi * gphi, axis=-1))  # (ne, nq)
-        F3 = jnp.zeros((ne, nq, 33), dt)
+        F3 = jnp.zeros((ne, nq, _NLOC), dt)
         F3 = F3.at[:, :, :8].set(
             -self.robin_coef * ngphi[:, :, None] * Vt[None, :, :]
         )
