@@ -217,6 +217,136 @@ def cached_equilibrated_solve(
     return x, float(stats[0]), int(stats[1])
 
 
+def build_interface_block(
+    blocks, total: int, selectable: np.ndarray
+):
+    """Assemble the sparse data-dependent DoF block of a lattice scheme.
+
+    ``blocks``: iterable of ``(row_dofs (ne, r), col_dofs (ne, c), mats
+    (ne, r, c) or (r, c))`` in GLOBAL flat ids; ``selectable`` (total,)
+    bool marks active DoFs eligible for the block.  Returns
+    ``(ids, A_csr, entity_blocks)``: the selected global ids, the CSR
+    matrix restricted to them, and per-entity overlapping index lists in
+    compact index space (for RAS).  The generic version of
+    ``WeakDirichletPoisson3._interface_csr`` (nonsymmetric rectangular
+    couplings allowed — e.g. S3-3D's one-sided u<-y_k flux blocks)."""
+    import scipy.sparse as sp
+
+    sel = np.zeros(total, bool)
+    rows_l, cols_l, vals_l, entity_dofs = [], [], [], []
+    for row_dofs, col_dofs, mats in blocks:
+        row_dofs = np.asarray(row_dofs)
+        col_dofs = np.asarray(col_dofs)
+        ne, r = row_dofs.shape
+        c = col_dofs.shape[1]
+        m = np.broadcast_to(np.asarray(mats), (ne, r, c))
+        rows_l.append(np.broadcast_to(row_dofs[:, :, None], m.shape))
+        cols_l.append(np.broadcast_to(col_dofs[:, None, :], m.shape))
+        vals_l.append(m)
+        sel[row_dofs.reshape(-1)] = True
+        sel[col_dofs.reshape(-1)] = True
+        entity_dofs.extend(
+            np.concatenate([row_dofs, col_dofs], axis=1)
+        )
+    sel &= selectable
+
+    ids = np.where(sel)[0]
+    m_sel = ids.shape[0]
+    idx_of = -np.ones(total, np.int64)
+    idx_of[ids] = np.arange(m_sel)
+    r = np.concatenate([v.reshape(-1) for v in rows_l])
+    c = np.concatenate([v.reshape(-1) for v in cols_l])
+    v = np.concatenate([v.reshape(-1) for v in vals_l])
+    rl, cl = idx_of[r], idx_of[c]
+    keep = (rl >= 0) & (cl >= 0)
+    A = sp.coo_matrix(
+        (v[keep], (rl[keep], cl[keep])), shape=(m_sel, m_sel)
+    ).tocsr()
+    ras = []
+    for d in entity_dofs:
+        bl = idx_of[d]
+        bl = np.unique(bl[bl >= 0])
+        if bl.size:
+            ras.append(bl)
+    return ids, A, ras
+
+
+def make_interface_apply(ids, A_csr, ras_blocks, dense_max=4000, sweeps=None):
+    """Compile the interface-block correction ``corr = A_II^{-1} rf[ids]``:
+    a dense inverse for small blocks, else inner BiCGStab on the
+    device-resident ELL band matrix with RAS block preconditioning (the
+    generic version of the solve inside
+    ``WeakDirichletPoisson3.lattice_preconditioner``)."""
+    m = ids.shape[0]
+    ids_j = jnp.asarray(ids)
+    if m <= dense_max:
+        Ad = np.asarray(A_csr.todense())
+        inv_j = jnp.asarray(np.linalg.inv(Ad))
+
+        def apply(rf):
+            return ids_j, inv_j.astype(rf.dtype) @ rf[ids_j]
+
+        return apply
+
+    K = max(bl.size for bl in ras_blocks)
+    nb = len(ras_blocks)
+    bids_np = np.full((nb, K), m, np.int64)
+    for i, bl in enumerate(ras_blocks):
+        bids_np[i, : bl.size] = bl
+    owner = -np.ones(m, np.int64)
+    own_np = np.zeros((nb, K), bool)
+    for i, bl in enumerate(ras_blocks):
+        new = bl[owner[bl] < 0]
+        owner[new] = i
+        own_np[i, : bl.size] = owner[ras_blocks[i]] == i
+    mats = np.zeros((nb, K, K))
+    mats[:, np.arange(K), np.arange(K)] = 1.0
+    for i, bl in enumerate(ras_blocks):
+        Ab = np.asarray(A_csr[bl][:, bl].todense())
+        dz0 = np.abs(np.diag(Ab)) < 1e-300
+        Ab[dz0, dz0] = 1.0
+        mats[i, : bl.size, : bl.size] = Ab
+    binv = jnp.asarray(np.linalg.inv(mats))
+    nnz_row = np.diff(A_csr.indptr)
+    nnzmax = max(1, int(nnz_row.max()))
+    ecols_np = np.full((m, nnzmax), m, np.int64)
+    evals_np = np.zeros((m, nnzmax))
+    rows_rep = np.repeat(np.arange(m), nnz_row)
+    offs2 = np.arange(A_csr.nnz) - np.repeat(A_csr.indptr[:-1], nnz_row)
+    ecols_np[rows_rep, offs2] = A_csr.indices
+    evals_np[rows_rep, offs2] = A_csr.data
+    zr = nnz_row == 0
+    ecols_np[zr, 0] = np.where(zr)[0]
+    evals_np[zr, 0] = 1.0
+    bids = jnp.asarray(bids_np)
+    own = jnp.asarray(own_np)
+    ecols = jnp.asarray(ecols_np, jnp.int32)
+    evals = jnp.asarray(evals_np)
+    n_sweeps = sweeps if sweeps is not None else max(10, int(0.3 * m**0.5))
+
+    def apply(rf):
+        rb = rf[ids_j]
+        dt = rb.dtype
+
+        def band_mv(v):
+            vpad = jnp.concatenate([v, jnp.zeros(1, dt)])
+            return (evals.astype(dt) * vpad[ecols]).sum(axis=1)
+
+        def band_ras(v):
+            vpad = jnp.concatenate([v, jnp.zeros(1, dt)])
+            cb = jnp.einsum("bkl,bl->bk", binv.astype(dt), vpad[bids])
+            upd = jnp.where(own, cb, 0.0)
+            out = jnp.zeros(m + 1, dt).at[bids].add(upd)
+            return out[:m]
+
+        corr, _ = jax.scipy.sparse.linalg.bicgstab(
+            band_mv, rb, M=band_ras, tol=1e-8, atol=0.0, maxiter=n_sweeps
+        )
+        return ids_j, corr
+
+    return apply
+
+
 def lattice_l2_h1_errors(
     grid, region_mask: np.ndarray, u_lat: Array, exact: Callable
 ) -> Dict[str, float]:

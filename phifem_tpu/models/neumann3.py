@@ -314,6 +314,128 @@ class NeumannPoisson3:
         )
         return self.result
 
+    # ------------------------------------------------------ preconditioner
+    def lattice_preconditioner(
+        self,
+        min_n: int = 4,
+        dtype=jnp.float32,
+        dense_max: int = 4000,
+        sweeps: Optional[int] = None,
+    ):
+        """Masked 3D lattice V-cycle on the u-bulk (non-cut Omega_h
+        vertices, the grad-grad + mass operator) + damped Jacobi on the
+        remaining active DoFs + a multiplicative solve on the
+        cut/ghost/flux DoF block — the S3 analogue of
+        WeakDirichletPoisson3.lattice_preconditioner (bulk MG alone is
+        WORSE than Jacobi without the cut-block correction; see
+        CLAUDE.md 3D notes)."""
+        from ..ops.lattice3 import build_lattice3_mg
+        from .lattice_core import build_interface_block, make_interface_apply
+
+        g = self.grid
+        D, R, C = self._DRC
+        N = D * R * C
+        nc = g.num_cells
+        in1 = self.tags.cell_tags == 1
+        cut = self.tags.cell_tags == 2
+        touch1 = np.zeros((D, R, C), bool)
+        touch_cut = np.zeros((D, R, C), bool)
+        nz, ny, nx = in1.shape
+        for (dx, dy, dz) in HEX_OFFS:
+            touch1[dz : dz + nz, dy : dy + ny, dx : dx + nx] |= in1
+            touch_cut[dz : dz + nz, dy : dy + ny, dx : dx + nx] |= cut
+        bulk = touch1 & ~touch_cut
+        mg = build_lattice3_mg(
+            g.nx, g.ny, g.nz, g.spacing, stiffness=1.0, mass=1.0,
+            min_n=min_n, dtype=dtype, mask=bulk,
+        )
+        bulk_j = jnp.asarray(bulk)
+        inv_diag = jax.tree.map(lambda d: 1.0 / d, self.diag)
+        active = self.active
+        omega = 0.67
+
+        # global flat layout: u [0, N), y_c [(1+c)N, (2+c)N), p [4N, 4N+nc)
+        total = 4 * N + nc
+        cut_np = np.asarray(self.cut_dofs)
+        cells_flat = np.asarray(self.cut_cells_flat)
+        pen_dofs = np.concatenate(
+            [cut_np]
+            + [(1 + c) * N + cut_np for c in range(3)]
+            + [4 * N + cells_flat[:, None]],
+            axis=1,
+        )  # (ne, 33)
+        pen_mats = np.asarray(self.E_stat)[None] + np.asarray(self.E_phi)
+        blocks = [(pen_dofs, pen_dofs, pen_mats)]
+        for dofs, Eg in self.ghost:
+            blocks.append((np.asarray(dofs), np.asarray(dofs), np.asarray(Eg)))
+        for dofs, Eb, k in self.flux:
+            d = np.asarray(dofs)
+            blocks.append((d, (1 + k) * N + d, np.asarray(Eb)))
+        # bulk rows among selected u DoFs (grad-grad + mass stencil)
+        sel_u = np.zeros(N, bool)
+        sel_u[pen_dofs[:, :8].reshape(-1)] = True
+        for dofs, _ in self.ghost:
+            sel_u[np.asarray(dofs).reshape(-1)] = True
+        for dofs, _, _ in self.flux:
+            sel_u[np.asarray(dofs).reshape(-1)] = True
+        in_h = self.tags.region_mask((1, 2))
+        cells_h = np.argwhere(in_h).astype(np.int32)
+        cdofs = cell_dofs_of((D, R, C), cells_h)
+        touch = sel_u[cdofs].any(axis=1)
+        blocks.append((cdofs[touch], cdofs[touch], np.asarray(self.A8)))
+
+        selectable = np.concatenate(
+            [np.asarray(active["u"])]
+            + [np.asarray(active["y"][c]) for c in range(3)]
+            + [np.asarray(active["p"])]
+        )
+        ids, A_csr, ras = build_interface_block(blocks, total, selectable)
+        # the mixed 33-local-dof block needs more inner band-solve sweeps
+        # than S1's scalar one (default 0.3 sqrt(m) diverges; 0.8 sqrt(m)
+        # measured convergent at n=16..32)
+        if sweeps is None:
+            sweeps = max(40, int(0.8 * len(ids) ** 0.5))
+        iface = make_interface_apply(
+            ids, A_csr, ras, dense_max=dense_max, sweeps=sweeps
+        )
+
+        def split(xf):
+            return {
+                "u": xf[:N],
+                "y": xf[N : 4 * N].reshape(3, N),
+                "p": xf[4 * N :],
+            }
+
+        def flat(x):
+            return jnp.concatenate([x["u"], x["y"].reshape(-1), x["p"]])
+
+        def precond(r):
+            r3 = jnp.where(bulk_j, r["u"].reshape(D, R, C), 0.0)
+            rp = jnp.zeros((D + 2, R + 2, C + 2), r3.dtype).at[
+                1 : 1 + D, 1 : 1 + R, 1 : 1 + C
+            ].set(r3)
+            z3 = mg(rp)[1 : 1 + D, 1 : 1 + R, 1 : 1 + C]
+            jac_u = omega * r["u"] * inv_diag["u"]
+            z_u = jnp.where(
+                bulk_j.reshape(-1),
+                z3.reshape(-1),
+                jnp.where(active["u"], jac_u, 0.0),
+            )
+            z_y = jnp.where(active["y"], omega * r["y"] * inv_diag["y"], 0.0)
+            z_p = jnp.where(active["p"], omega * r["p"] * inv_diag["p"], 0.0)
+            x = {"u": z_u, "y": z_y, "p": z_p}
+            # multiplicative interface-block correction on the residual
+            Ax = self.matvec(
+                jax.tree.map(lambda xi, mm: jnp.where(mm, xi, 0.0), x, active)
+            )
+            res = jax.tree.map(
+                lambda ri, ai, mm: jnp.where(mm, ri - ai, 0.0), r, Ax, active
+            )
+            ids_j, corr = iface(flat(res))
+            return split(flat(x).at[ids_j].add(corr))
+
+        return precond
+
     # ------------------------------------------------------------- errors
     def l2_h1_errors(self, exact: Callable, region=(1, 2)) -> Dict[str, float]:
         return lattice_l2_h1_errors(

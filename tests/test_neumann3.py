@@ -82,6 +82,33 @@ def test_neumann3_flux_field_consistency():
     assert np.sqrt(num / den) < 0.2, np.sqrt(num / den)
 
 
+def test_neumann3_lattice_preconditioner():
+    """Bulk MG + multiplicative interface-block correction keeps outer
+    BiCGStab iterations small and ~grid-independent (Jacobi needs 200+);
+    ceilings pinned at two sizes so the inner RAS band solve can't
+    silently degrade (dense path at n=12, Schwarz band path at n=16)."""
+    for n, ceiling in ((12, 10), (16, 25)):
+        g = Grid3(n, n, n, BOX)
+        s = NeumannPoisson3(g)
+        s.setup(phi_sphere, f_helmholtz, u_neumann)
+        s.assemble()
+        pc = s.lattice_preconditioner()
+        r = s.solve(tol=1e-10, maxiter=100, precond=pc)
+        assert r.converged, (n, r.residual, r.iterations)
+        assert r.iterations <= ceiling, (n, r.iterations)
+
+
+def test_robin3_lattice_preconditioner():
+    from phifem_tpu.models.robin3 import RobinPoisson3
+
+    g = Grid3(16, 16, 16, BOX)
+    s = RobinPoisson3(g, robin_coef=1.0)
+    s.setup(phi_sphere, f_helmholtz, lambda x: u_neumann(x) + u_ex(x))
+    s.assemble()
+    r = s.solve(tol=1e-10, maxiter=100, precond=s.lattice_preconditioner())
+    assert r.converged and r.iterations <= 15, (r.iterations, r.residual)
+
+
 def test_robin3_convergence():
     """3D Robin (S4 z-extension): du/dn + alpha u = u_R on the sphere."""
     from phifem_tpu.models.robin3 import RobinPoisson3
