@@ -22,6 +22,7 @@ from .neumann3 import NeumannPoisson3
 from .robin3 import RobinPoisson3
 from .strong_dirichlet3 import StrongDirichletPoisson3
 from .weak_dirichlet3 import WeakDirichletPoisson3
+from .interface_elasticity3 import InterfaceElasticity3
 
 __all__ = [
     "WeakDirichletPoisson",
@@ -35,4 +36,5 @@ __all__ = [
     "RobinPoisson3",
     "StrongDirichletPoisson3",
     "WeakDirichletPoisson3",
+    "InterfaceElasticity3",
 ]

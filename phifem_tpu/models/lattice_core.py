@@ -148,10 +148,25 @@ def make_equilibrated_runner(
     tol: float = 1e-10,
     maxiter: int = 4000,
     precond: Optional[Callable] = None,
+    deflate: Optional[tuple] = None,
 ):
     """Compile ``run(b) -> (x, [rel_residual, iterations])``: symmetric
     diagonal equilibration, identity on inactive DoFs, one packed stats
-    fetch (solvers.solve's discipline on pytree lattice operators)."""
+    fetch (solvers.solve's discipline on pytree lattice operators).
+
+    ``deflate`` optionally supplies pytree vectors spanning a (near-)null
+    space; the iteration then runs on the projected operator
+    ``P A P + Q Q^T`` exactly like :func:`phifem_tpu.solvers.solve`'s
+    ``deflate`` (the iterative analogue of MUMPS null-pivot handling)."""
+
+    def _tdot(a, b):
+        return sum(
+            jnp.vdot(x, y).real
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    def _taxpy(alpha, x, y):
+        return jax.tree.map(lambda xi, yi: alpha * xi + yi, x, y)
 
     @jax.jit
     def run(b):
@@ -179,12 +194,47 @@ def make_equilibrated_runner(
             )
         else:
             M = lambda r: r
+
+        ortho = []
+        if deflate:
+            # null(D^-1/2 A D^-1/2) = D^1/2 v, masked to active DoFs,
+            # Gram-Schmidt orthonormalized (solvers.solve:370-386)
+            for v in deflate:
+                q = jax.tree.map(
+                    lambda vi, m, di: jnp.where(m, vi, 0.0) * di,
+                    v, active, dsqrt,
+                )
+                for o in ortho:
+                    q = _taxpy(-_tdot(o, q), o, q)
+                nrm = jnp.sqrt(_tdot(q, q))
+                q = jax.tree.map(lambda qi: qi / jnp.maximum(nrm, 1e-300), q)
+                ortho.append(q)
+
+            def _proj(v):
+                for o in ortho:
+                    v = _taxpy(-_tdot(o, v), o, v)
+                return v
+
+            mv_plain, M_plain = mv, M
+
+            def mv(y):
+                z = _proj(mv_plain(_proj(y)))
+                for o in ortho:  # identity on the deflated span
+                    z = _taxpy(_tdot(o, y), o, z)
+                return z
+
+            M = lambda r: _proj(M_plain(_proj(r)))
+            b_eq = _proj(b_eq)
+
         x0 = jax.tree.map(jnp.zeros_like, b_eq)
         runner = _pcg if method == "cg" else _pbicgstab
         x, it = runner(mv, b_eq, x0, tol=tol, atol=0.0, maxiter=maxiter, M=M)
         r = jax.tree.map(lambda bi, ai: bi - ai, b_eq, mv(x))
         rn = jnp.sqrt(sum(jnp.vdot(v, v).real for v in jax.tree.leaves(r)))
         bn = jnp.sqrt(sum(jnp.vdot(v, v).real for v in jax.tree.leaves(b_eq)))
+        if ortho:
+            for o in ortho:  # zero-null-component gauge
+                x = _taxpy(-_tdot(o, x), o, x)
         x = jax.tree.map(lambda yi, di: yi * di, x, dinv)
         return x, jnp.stack(
             [rn / jnp.maximum(bn, 1e-300), it.astype(rn.dtype)]
@@ -199,10 +249,14 @@ def cached_equilibrated_solve(
     tol: float,
     maxiter: int,
     precond: Optional[Callable],
+    deflate: Optional[tuple] = None,
 ) -> Tuple[Dict[str, Array], float, int]:
     """Memoized compiled solve on a scheme exposing ``matvec``/``diag``/
     ``active``/``b`` — returns (x, rel_residual, iterations)."""
-    key = (method, float(tol), int(maxiter), id(precond))
+    key = (
+        method, float(tol), int(maxiter), id(precond),
+        len(deflate) if deflate else 0, id(deflate),
+    )
     cache = getattr(scheme, "_solve_cache", None)
     if cache is None:
         cache = scheme._solve_cache = {}
@@ -211,6 +265,7 @@ def cached_equilibrated_solve(
         run = cache[key] = make_equilibrated_runner(
             scheme.matvec, scheme.diag, scheme.active,
             method=method, tol=tol, maxiter=maxiter, precond=precond,
+            deflate=deflate,
         )
     x, stats = run(scheme.b)
     stats = np.asarray(stats)
@@ -345,6 +400,60 @@ def make_interface_apply(ids, A_csr, ras_blocks, dense_max=4000, sweeps=None):
         return ids_j, corr
 
     return apply
+
+
+def lattice_l2_h1_errors_vec(
+    grid, region_mask: np.ndarray, u_lat: Array, exact: Callable
+) -> Dict[str, float]:
+    """Vector version of :func:`lattice_l2_h1_errors`: ``u_lat`` is
+    (nc_fields, D, R, C) channels-first, ``exact((..., 3)) -> (..., nc)``;
+    L2/H10 norms sum over channels (the 3D analogue of the 2D
+    ``SchemeBase.l2_h1_errors`` on vector spaces)."""
+    dt = float_dtype()
+    hx, hy, hz = grid.spacing
+    ncf = u_lat.shape[0]
+    mask = jnp.asarray(region_mask.astype(np.float64), dt)
+    nz, ny, nx = mask.shape
+    D, R, C = grid.lattice_shape
+    x, y, z = grid.vertex_coords_lattice(dt)
+    x0 = jnp.broadcast_to(x, (D, R, C))[:nz, :ny, :nx]
+    y0 = jnp.broadcast_to(y, (D, R, C))[:nz, :ny, :nx]
+    z0 = jnp.broadcast_to(z, (D, R, C))[:nz, :ny, :nx]
+    corners = [
+        [
+            u_lat[c, dz : dz + nz, dy : dy + ny, dx : dx + nx]
+            for (dx, dy, dz) in HEX_OFFS
+        ]
+        for c in range(ncf)
+    ]
+    W, V, G = hex_quadrature(2)
+    Pq = hex_quadrature_points(2)
+    num_l2 = den_l2 = num_h1 = den_h1 = jnp.asarray(0.0, dt)
+    jac_exact = jax.vmap(
+        jax.vmap(jax.vmap(jax.jacfwd(lambda p: exact(p[None])[0])))
+    )
+    for q in range(W.shape[0]):
+        wq3 = float(W[q])
+        Nq = jnp.asarray(V[q], dt)
+        Gd = jnp.asarray(G[q], dt) / np.array([hx, hy, hz])[None, :]
+        px = x0 + float(Pq[q, 0]) * hx
+        py = y0 + float(Pq[q, 1]) * hy
+        pz = z0 + float(Pq[q, 2]) * hz
+        pe = jnp.stack([px, py, pz], axis=-1)
+        ue = exact(pe)  # (..., ncf)
+        ge = jac_exact(pe)  # (..., ncf, 3)
+        for c in range(ncf):
+            uq = sum(Nq[i] * corners[c][i] for i in range(8))
+            num_l2 += wq3 * jnp.sum(mask * (uq - ue[..., c]) ** 2)
+            den_l2 += wq3 * jnp.sum(mask * ue[..., c] ** 2)
+            for k in range(3):
+                gk = sum(Gd[i, k] * corners[c][i] for i in range(8))
+                num_h1 += wq3 * jnp.sum(mask * (gk - ge[..., c, k]) ** 2)
+                den_h1 += wq3 * jnp.sum(mask * ge[..., c, k] ** 2)
+    return {
+        "l2": float(jnp.sqrt(num_l2 / den_l2)),
+        "h10": float(jnp.sqrt(num_h1 / den_h1)),
+    }
 
 
 def lattice_l2_h1_errors(

@@ -38,8 +38,11 @@ Array = jnp.ndarray
 __all__ = [
     "hex_element_matrix",
     "vertex_stencil_weights3",
+    "block_vertex_stencil_weights3",
     "Lattice3MG",
+    "Lattice3BlockMG",
     "build_lattice3_mg",
+    "build_lattice3_block_mg",
     "lattice3_cg",
 ]
 
@@ -344,6 +347,233 @@ def build_lattice3_mg(
     inv = _dense_coarse_inv3(lvl.terms, lvl.D, lvl.R, lvl.C, coarse_mask)
     return Lattice3MG(
         levels, jnp.asarray(inv, dtype), dtype=dtype, masks=lvl_masks, **kw
+    )
+
+
+def block_vertex_stencil_weights3(K: np.ndarray, vsz: int) -> np.ndarray:
+    """Aggregate an (8*vsz, 8*vsz) CHANNEL-MAJOR vector hex element matrix
+    (local dof = 8*channel + node, the 3D scheme layout) into the
+    (3, 3, 3, vsz, vsz) block vertex stencil — the 3D analogue of
+    :func:`phifem_tpu.ops.lattice.block_vertex_stencil_weights`."""
+    w = np.zeros((3, 3, 3, vsz, vsz))
+    K = np.asarray(K, np.float64)
+    for i, (dxi, dyi, dzi) in enumerate(_HEX_OFFS):
+        for j, (dxj, dyj, dzj) in enumerate(_HEX_OFFS):
+            for ci in range(vsz):
+                for cj in range(vsz):
+                    w[
+                        1 + dzj - dzi, 1 + dyj - dyi, 1 + dxj - dxi, ci, cj
+                    ] += K[8 * ci + i, 8 * cj + j]
+    return w
+
+
+def _block_terms3(w: np.ndarray) -> List[Tuple[int, int, int, np.ndarray]]:
+    out = []
+    scale = max(1e-300, np.abs(w).max())
+    for a in range(3):
+        for b in range(3):
+            for c in range(3):
+                if np.abs(w[a, b, c]).max() > 1e-14 * scale:
+                    out.append((a, b, c, w[a, b, c].copy()))
+    return out
+
+
+def _conv_interior3_block(
+    xp: Array, offs, W: Array, D: int, R: int, C: int
+) -> Array:
+    """(A x) at the logical-interior nodes for channels-first block 3D
+    lattices: ``xp`` (vsz, D+2, R+2, C+2) -> (vsz, D-2, R-2, C-2); ``W``
+    stacks the per-offset (vsz, vsz) blocks."""
+    acc = None
+    for t, (a, b, c) in enumerate(offs):
+        xs = xp[:, a + 1 : a + D - 1, b + 1 : b + R - 1, c + 1 : c + C - 1]
+        part = jnp.einsum("ij,jdrc->idrc", W[t], xs)
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _dense_coarse_inv3_block(
+    terms, D: int, R: int, C: int, vsz: int, mask: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Exact inverse of the reduced block operator on the coarsest 3D
+    interior; flat index = ((i * nr + j) * nc + k) * vsz + comp."""
+    nd, nr, nc = D - 2, R - 2, C - 2
+    n = nd * nr * nc * vsz
+    A = np.zeros((n, n))
+    for a, b, c, Wb in terms:
+        dz, dy, dx = a - 1, b - 1, c - 1
+        for i in range(nd):
+            i2 = i + dz
+            if not (0 <= i2 < nd):
+                continue
+            for j in range(nr):
+                j2 = j + dy
+                if not (0 <= j2 < nr):
+                    continue
+                for k in range(nc):
+                    k2 = k + dx
+                    if 0 <= k2 < nc:
+                        r0 = ((i * nr + j) * nc + k) * vsz
+                        c0 = ((i2 * nr + j2) * nc + k2) * vsz
+                        A[r0 : r0 + vsz, c0 : c0 + vsz] += Wb
+    if mask is not None:
+        act = np.repeat(
+            np.asarray(mask[1 : D - 1, 1 : R - 1, 1 : C - 1], bool).reshape(-1),
+            vsz,
+        )
+        A[~act, :] = 0.0
+        A[:, ~act] = 0.0
+        idx = np.where(~act)[0]
+        A[idx, idx] = 1.0
+    # a FLOATING masked elasticity block (e.g. the sphere-interior side of
+    # an interface problem) is exactly singular along its rigid modes —
+    # a plain inverse returns garbage that caps the V-cycle's quality;
+    # the pseudo-inverse is the coarse analogue of mg._coarse_pinv
+    return np.linalg.pinv(A, rcond=1e-10)
+
+
+@dataclasses.dataclass
+class Lattice3BlockMG:
+    """Block (multi-channel) 3D V-cycle on channels-first padded lattices
+    (vsz, D+2, R+2, C+2) — the vector-field generalization of
+    :class:`Lattice3MG` (3D elasticity bulk: vsz=3).  Per-level stencils
+    (3D terms are not refinement-invariant); block-Jacobi smoothing with
+    the interior center-block inverse; componentwise trilinear transfers."""
+
+    levels: List[_Level3]
+    offs: Tuple[Tuple[int, int, int], ...]
+    Ws: List[Array]  # per-level (nterms, vsz, vsz)
+    dinvs: List[Array]  # per-level (vsz, vsz) center-block inverses
+    coarse_inv: Array
+    vsz: int
+    dtype: jnp.dtype = jnp.float32
+    # block Jacobi on the Q1 ELASTICITY stencil has lam_max(D^-1 A) ~ 2.64
+    # (measured, nu = 0.3) vs < 2 for scalar Laplace: omega = 0.8 AMPLIFIES
+    # (|1 - 0.8 * 2.64| > 1) and the V-cycle diverges; 0.6 damps the upper
+    # half of the spectrum
+    omega: float = 0.6
+    pre_smooth: int = 2
+    post_smooth: int = 2
+    masks: Optional[List[Array]] = None  # per-level logical (D, R, C)
+
+    def _mask_int(self, k: int, D: int, R: int, C: int):
+        if self.masks is None:
+            return None
+        return self.masks[k][1 : D - 1, 1 : R - 1, 1 : C - 1]
+
+    def _smooth(self, xp, bp, lvl: _Level3, k: int, sweeps: int):
+        D, R, C = lvl.D, lvl.R, lvl.C
+        om = jnp.asarray(self.omega, xp.dtype)
+        Dinv = self.dinvs[k].astype(xp.dtype)
+        W = self.Ws[k].astype(xp.dtype)
+        m = self._mask_int(k, D, R, C)
+        for _ in range(sweeps):
+            r = bp[:, 2:D, 2:R, 2:C] - _conv_interior3_block(
+                xp, self.offs, W, D, R, C
+            )
+            upd = om * jnp.einsum("ij,jdrc->idrc", Dinv, r)
+            if m is not None:
+                upd = upd * m
+            xp = xp.at[:, 2:D, 2:R, 2:C].add(upd)
+        return xp
+
+    def _cycle(self, k: int, bp):
+        lvl = self.levels[k]
+        D, R, C = lvl.D, lvl.R, lvl.C
+        if k == len(self.levels) - 1:
+            v = bp[:, 2:D, 2:R, 2:C]
+            flat = jnp.moveaxis(v, 0, -1).reshape(-1)
+            sol = self.coarse_inv.astype(bp.dtype) @ flat
+            v = jnp.moveaxis(
+                sol.reshape(D - 2, R - 2, C - 2, self.vsz), -1, 0
+            )
+            return jnp.zeros_like(bp).at[:, 2:D, 2:R, 2:C].set(v)
+        W = self.Ws[k].astype(bp.dtype)
+        xp = self._smooth(jnp.zeros_like(bp), bp, lvl, k, self.pre_smooth)
+        r_int = bp[:, 2:D, 2:R, 2:C] - _conv_interior3_block(
+            xp, self.offs, W, D, R, C
+        )
+        m = self._mask_int(k, D, R, C)
+        if m is not None:
+            r_int = r_int * m
+        nxt = self.levels[k + 1]
+        bc = jax.vmap(lambda ri: _restrict3(ri, nxt.D, nxt.R, nxt.C))(r_int)
+        if self.masks is not None:
+            mc = _embed3(
+                self.masks[k + 1][1:-1, 1:-1, 1:-1], nxt.D, nxt.R, nxt.C
+            )
+            bc = bc * mc
+        ec = self._cycle(k + 1, bc)
+        corr = jax.vmap(lambda e: _prolong3(e, nxt.D, nxt.R, nxt.C))(ec)
+        if self.masks is not None:
+            corr = corr * self.masks[k]
+        xp = xp.at[:, 2:D, 2:R, 2:C].add(corr[:, 1:-1, 1:-1, 1:-1])
+        return self._smooth(xp, bp, lvl, k, self.post_smooth)
+
+    def __call__(self, bp: Array) -> Array:
+        in_dt = bp.dtype
+        if in_dt != self.dtype:
+            bp = bp.astype(self.dtype)
+        return self._cycle(0, bp).astype(in_dt)
+
+
+def build_lattice3_block_mg(
+    nx: int,
+    ny: int,
+    nz: int,
+    spacing: Tuple[float, float, float],
+    elem_fn,
+    vsz: int,
+    min_n: int = 4,
+    dtype=jnp.float32,
+    mask: Optional[np.ndarray] = None,
+    **kw,
+) -> Lattice3BlockMG:
+    """Build the block 3D V-cycle for the uniform vector cell term whose
+    CHANNEL-MAJOR element matrix at spacing (hx, hy, hz) is
+    ``elem_fn(hx, hy, hz) -> (8*vsz, 8*vsz)`` (e.g. the Q1 linear-
+    elasticity matrix).  Each level re-assembles its own element matrix at
+    the level spacing (3D terms are not scale-free)."""
+    hx, hy, hz = spacing
+    dims = [(nx, ny, nz)]
+    while (
+        nx % 2 == 0 and ny % 2 == 0 and nz % 2 == 0
+        and min(nx, ny, nz) // 2 >= min_n
+    ):
+        nx, ny, nz = nx // 2, ny // 2, nz // 2
+        dims.append((nx, ny, nz))
+    levels = []
+    terms_per_level = []
+    for k, (lx, ly, lz) in enumerate(dims):
+        K = elem_fn(hx * 2**k, hy * 2**k, hz * 2**k)
+        terms = _block_terms3(block_vertex_stencil_weights3(K, vsz))
+        terms_per_level.append(terms)
+        levels.append(_Level3(lz + 1, ly + 1, lx + 1, ()))
+    offs = tuple((a, b, c) for a, b, c, _ in terms_per_level[0])
+    Ws, dinvs = [], []
+    for terms in terms_per_level:
+        by_off = {(a, b, c): Wb for a, b, c, Wb in terms}
+        Ws.append(
+            jnp.asarray(np.stack([by_off[o] for o in offs]), dtype)
+        )
+        dinvs.append(jnp.asarray(np.linalg.inv(by_off[(1, 1, 1)]), dtype))
+    lvl_masks = None
+    coarse_mask = None
+    if mask is not None:
+        m = np.asarray(mask, bool)
+        masks_np = [m]
+        for _ in levels[1:]:
+            m = _coarsen_mask3(m)
+            masks_np.append(m)
+        coarse_mask = masks_np[-1]
+        lvl_masks = [jnp.asarray(mm, dtype) for mm in masks_np]
+    lvl = levels[-1]
+    inv = _dense_coarse_inv3_block(
+        terms_per_level[-1], lvl.D, lvl.R, lvl.C, vsz, coarse_mask
+    )
+    return Lattice3BlockMG(
+        levels, offs, Ws, dinvs, jnp.asarray(inv, dtype), vsz,
+        dtype=dtype, masks=lvl_masks, **kw
     )
 
 

@@ -217,8 +217,12 @@ def _pbicgstab(matvec, b, x0, *, tol, atol, maxiter, M):
     """Preconditioned BiCGStab on pytrees: one ``lax.while_loop``, counted.
 
     Matches the classical recurrence (right-preconditioned form); exits on
-    the true-residual norm test or rho/omega breakdown (NaNs propagate to
-    a non-finite residual, which also stops the loop)."""
+    the true-residual norm test, rho/omega breakdown (NaNs propagate to a
+    non-finite residual, which also stops the loop), or runaway divergence
+    (residual 1e8x past its best).  Returns the BEST iterate seen, not the
+    last one — after a stagnation-then-breakdown the classical recurrence
+    can wander arbitrarily far, which would turn a near-converged solve
+    into garbage (observed on the S5-3D block-MG path)."""
     bnorm2 = tree_dot32(b, b)
     target2 = jnp.maximum(tol * tol * bnorm2, jnp.asarray(atol) ** 2)
 
@@ -226,16 +230,20 @@ def _pbicgstab(matvec, b, x0, *, tol, atol, maxiter, M):
     rhat = r0
     zeros = jax.tree.map(jnp.zeros_like, b)
     one = jnp.asarray(1.0, jax.tree.leaves(b)[0].dtype)
-    state = (x0, r0, rhat, zeros, zeros, one, one, one, jnp.asarray(0, jnp.int32))
+    rr0 = tree_dot32(r0, r0)
+    state = (
+        x0, r0, rhat, zeros, zeros, one, one, one,
+        jnp.asarray(0, jnp.int32), x0, rr0,
+    )
 
     def cond(st):
-        x, r, rhat, p, v, rho, alpha, omega, it = st
+        x, r, rhat, p, v, rho, alpha, omega, it, xb, rrb = st
         rr = tree_dot32(r, r)
-        ok = jnp.isfinite(rr)
+        ok = jnp.logical_and(jnp.isfinite(rr), rr < 1e16 * (rrb + 1e-300))
         return jnp.logical_and(jnp.logical_and(rr > target2, it < maxiter), ok)
 
     def body(st):
-        x, r, rhat, p, v, rho, alpha, omega, it = st
+        x, r, rhat, p, v, rho, alpha, omega, it, xb, rrb = st
         rho_new = tree_dot32(rhat, r)
         beta = jnp.where(it == 0, 0.0, (rho_new / rho) * (alpha / omega))
         p = jax.tree.map(
@@ -252,10 +260,18 @@ def _pbicgstab(matvec, b, x0, *, tol, atol, maxiter, M):
             lambda xi, ph, sh: xi + alpha * ph + omega * sh, x, phat, shat
         )
         r = tree_axpy(-omega, t, s)
-        return x, r, rhat, p, v, rho_new, alpha, omega, it + 1
+        rr = tree_dot32(r, r)
+        better = jnp.logical_and(jnp.isfinite(rr), rr < rrb)
+        xb = jax.tree.map(
+            lambda xi, xbi: jnp.where(better, xi, xbi), x, xb
+        )
+        rrb = jnp.where(better, rr, rrb)
+        return x, r, rhat, p, v, rho_new, alpha, omega, it + 1, xb, rrb
 
-    x, r, *_, it = jax.lax.while_loop(cond, body, state)
-    return x, it
+    _, r, _, _, _, _, _, _, it, xb, rrb = jax.lax.while_loop(
+        cond, body, state
+    )
+    return xb, it
 
 
 def solve(

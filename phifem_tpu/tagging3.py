@@ -80,6 +80,45 @@ class Tags3:
     def region_mask(self, tags=(1, 2)) -> np.ndarray:
         return np.isin(self.cell_tags, np.asarray(tags))
 
+    def faces_between(self, tags_a, tags_b):
+        """Per-axis ONE-SIDED interior face lists between region A and
+        region B: for each slicing axis ``ax``, ``(cells_plus, cells_minus)``
+        where each entry is the (iz, iy, ix) of the A-side cell and the
+        outward (A -> B) normal is +e_ax for the plus list, -e_ax for the
+        minus list.  Generalizes ``boundary_faces`` (A={1,2}, B={3}) to
+        arbitrary regions — the 3D analogue of the 2D one-sided measures
+        100/101 (`tagging.py:492-502`) and S5's per-side face families."""
+        A = np.isin(self.cell_tags, np.asarray(tags_a))
+        B = np.isin(self.cell_tags, np.asarray(tags_b))
+        out = []
+        for ax in (0, 1, 2):
+            lo = [slice(None)] * 3
+            hi = [slice(None)] * 3
+            lo[ax] = slice(None, -1)
+            hi[ax] = slice(1, None)
+            plus = np.argwhere(A[tuple(lo)] & B[tuple(hi)]).astype(np.int32)
+            minus = np.argwhere(B[tuple(lo)] & A[tuple(hi)]).astype(np.int32)
+            minus[:, ax] += 1  # the A-side (upper) cell
+            out.append((plus, minus))
+        return tuple(out)
+
+    def jump_faces_between(self, tags_a, tags_b):
+        """Per-axis LOWER-cell lists of interior faces whose two cells lie
+        one in region A and one in region B (either orientation) — the
+        jump-stabilization families (the 2D facet-tag regions 3 = 1|2 and
+        4 = 2|3 of `tagging.tag_facets`)."""
+        A = np.isin(self.cell_tags, np.asarray(tags_a))
+        B = np.isin(self.cell_tags, np.asarray(tags_b))
+        out = []
+        for ax in (0, 1, 2):
+            lo = [slice(None)] * 3
+            hi = [slice(None)] * 3
+            lo[ax] = slice(None, -1)
+            hi[ax] = slice(1, None)
+            m = (A[tuple(lo)] & B[tuple(hi)]) | (B[tuple(lo)] & A[tuple(hi)])
+            out.append(np.argwhere(m).astype(np.int32))
+        return tuple(out)
+
 
 def compute_tags3(grid: Grid3, levelset: Callable) -> Tags3:
     """Tag the 3D grid: one device kernel + one int8 fetch, then
