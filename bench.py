@@ -335,6 +335,84 @@ def bench_s5(n: int) -> dict:
     }
 
 
+def bench_s5_3d(n: int) -> dict:
+    """S5-3D interface elasticity (beyond the 2D-only reference): warm
+    rigid-mode-deflated BiCGStab with the per-side block-MG + exact
+    cut-block preconditioner.  OPT-IN (PHIFEM_BENCH_S53D=1): the nested
+    inner-band-Krylov graph is a remote-compile wedge risk through the
+    tunnel (CLAUDE.md)."""
+    import jax.numpy as jnp
+
+    from phifem_tpu.grid3 import Grid3
+    from phifem_tpu.models import InterfaceElasticity3
+    from phifem_tpu.models.interface_elasticity import lame
+
+    E_in, E_out = 1.0, 0.001
+    box = ((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5))
+    phi = lambda x: 1.0 - (
+        x[..., 0] ** 2 + x[..., 1] ** 2 + x[..., 2] ** 2
+    )
+
+    def exact(x):
+        r = jnp.sqrt(
+            x[..., 0] ** 2 + x[..., 1] ** 2 + x[..., 2] ** 2 + 1e-30
+        )
+        v = (jnp.cos(r) - jnp.cos(1.0)) / E_in
+        v = jnp.where(r < 1.0, v * (E_in / E_out), v)
+        return jnp.stack([v, v, v], axis=-1)
+
+    lmbda, mu = lame(E_in, 0.3)
+
+    def _sigma(p):
+        G = jax.jacfwd(
+            lambda q: jnp.cos(
+                jnp.sqrt(q[0] ** 2 + q[1] ** 2 + q[2] ** 2 + 1e-30)
+            )
+            * jnp.ones(3)
+        )(p)
+        eps = 0.5 * (G + G.T)
+        return lmbda * jnp.trace(G) * jnp.eye(3) + 2 * mu * eps
+
+    def source(x):
+        sh = x.shape[:-1]
+        p = x.reshape(-1, 3)
+        Dg = jax.vmap(jax.jacfwd(_sigma))(p)
+        return (-jnp.einsum("nijj->ni", Dg) / E_in).reshape(sh + (3,))
+
+    t0 = time.perf_counter()
+    s = InterfaceElasticity3(Grid3(n, n, n, box), E_in=E_in, E_out=E_out)
+    s.setup(phi, source, exact)
+    s.assemble()
+    _fetch(s.b["ui"])
+    t_setup = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pc = s.lattice_preconditioner()
+    t_mg = time.perf_counter() - t0
+
+    tol = float(os.environ.get("PHIFEM_BENCH_TOL", "1e-8"))
+    defl = s.rigid_modes()
+    r0, t_cold = _t(
+        s.solve, tol=tol, maxiter=400, precond=pc, deflate=defl
+    )
+    r, t_solve = _t(
+        s.solve, tol=tol, maxiter=400, precond=pc, deflate=defl
+    )
+    ndofs = 27 * s._N
+    return {
+        "ndofs": ndofs,
+        "n": n,
+        "solve_s": round(t_solve, 4),
+        "cold_solve_s": round(t_cold, 2),
+        "setup_assemble_s": round(t_setup, 2),
+        "mg_setup_s": round(t_mg, 2),
+        "iterations": int(r.iterations),
+        "residual": f"{r.residual:.2e}",
+        "converged": bool(r.converged),
+        "mdofs_per_s": round(ndofs / t_solve / 1e6, 3),
+    }
+
+
 def bench_reassemble_large(n: int) -> dict:
     """Measured (not extrapolated) stabilized-assembly rate at the 10M-DoF
     scale: all data-dependent cut/ghost/boundary element-matrix rebuilds of
@@ -406,6 +484,14 @@ def main():
             extra["s5"] = bench_s5(int(os.environ.get("PHIFEM_BENCH_S5_N", "128")))
         except Exception:
             extra["s5_error"] = traceback.format_exc()[-1500:]
+
+    if os.environ.get("PHIFEM_BENCH_S53D") == "1":
+        try:
+            extra["s5_3d"] = bench_s5_3d(
+                int(os.environ.get("PHIFEM_BENCH_S53D_N", "16"))
+            )
+        except Exception:
+            extra["s5_3d_error"] = traceback.format_exc()[-1500:]
 
     if os.environ.get("PHIFEM_BENCH_SKIP_ASM") != "1":
         try:

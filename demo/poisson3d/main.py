@@ -1,9 +1,10 @@
 """3D phi-FEM demo — Poisson problems on a sphere immersed in a hex box.
 
 The reference framework is 2D-only; this demo exercises the z-axis
-extension: all four scheme families on the same sphere geometry.
+extension: all four Poisson scheme families plus two-material interface
+elasticity on the same sphere geometry.
 
-    python demo/poisson3d/main.py weak|strong|neumann|robin [--n 32]
+    python demo/poisson3d/main.py weak|strong|neumann|robin|elasticity [--n 32]
 
 Prints relative L2/H10 errors vs the analytic solution, Krylov iteration
 counts, and writes a VTI (VTK ImageData) volume for ParaView.
@@ -61,16 +62,103 @@ def neg_lap(u):
     return f
 
 
+def elasticity_data(E_in, E_out, nu=0.3):
+    """Manufactured two-material solution (equal Poisson ratios: the
+    stress of the radial cos profile is side-independent, so displacement
+    and traction are exactly continuous at r = R0)."""
+    from phifem_tpu.models.interface_elasticity import lame
+
+    def _r(x):
+        return jnp.sqrt(
+            x[..., 0] ** 2 + x[..., 1] ** 2 + x[..., 2] ** 2 + 1e-30
+        )
+
+    def exact(x):
+        val = (jnp.cos(_r(x)) - jnp.cos(R0)) / E_in
+        val = jnp.where(_r(x) < R0, val * (E_in / E_out), val)
+        return jnp.stack([val, val, val], axis=-1)
+
+    lmbda, mu = lame(E_in, nu)
+
+    def _sigma(p):
+        G = jax.jacfwd(
+            lambda q: jnp.cos(
+                jnp.sqrt(q[0] ** 2 + q[1] ** 2 + q[2] ** 2 + 1e-30)
+            )
+            * jnp.ones(3)
+        )(p)
+        eps = 0.5 * (G + G.T)
+        return lmbda * jnp.trace(G) * jnp.eye(3) + 2 * mu * eps
+
+    def source(x):
+        shape = x.shape[:-1]
+        p = x.reshape(-1, 3)
+        Dg = jax.vmap(jax.jacfwd(_sigma))(p)
+        return (-jnp.einsum("nijj->ni", Dg) / E_in).reshape(shape + (3,))
+
+    return exact, source
+
+
 def main():
     ap = argparse.ArgumentParser(prog="main.py", description="3D phi-FEM demo.")
-    ap.add_argument("scheme", choices=["weak", "strong", "neumann", "robin"])
+    ap.add_argument(
+        "scheme",
+        choices=["weak", "strong", "neumann", "robin", "elasticity"],
+    )
     ap.add_argument("--n", type=int, default=32)
     ap.add_argument("--tol", type=float, default=1e-10)
     ap.add_argument("--maxiter", type=int, default=20000)
+    ap.add_argument("--E-out", type=float, default=0.001)
+    ap.add_argument(
+        "--sweeps", type=int, default=None,
+        help="inner band-Krylov sweeps of the elasticity cut-block solve",
+    )
     args = ap.parse_args()
 
     g = Grid3(args.n, args.n, args.n, BOX)
     timer = Timer()
+
+    if args.scheme == "elasticity":
+        from phifem_tpu.models import InterfaceElasticity3
+
+        phi_e = lambda x: R0**2 - (
+            x[..., 0] ** 2 + x[..., 1] ** 2 + x[..., 2] ** 2
+        )
+        uex, f = elasticity_data(1.0, args.E_out)
+        with timer.phase("setup+assemble"):
+            s = InterfaceElasticity3(g, E_in=1.0, E_out=args.E_out)
+            s.setup(phi_e, f, uex)
+            s.assemble()
+        with timer.phase("precond setup"):
+            pc = s.lattice_preconditioner(sweeps=args.sweeps)
+        with timer.phase("solve"):
+            r = s.solve(
+                tol=args.tol, maxiter=args.maxiter, precond=pc,
+                deflate=s.rigid_modes(),
+            )
+        print(
+            f"iters {r.iterations} residual {r.residual:.2e} "
+            f"converged={r.converged}"
+        )
+        errs = s.l2_h1_errors(uex)
+        print(f"Relative L2 error: {errs['l2']:.6e}")
+        print(f"Relative H10 error: {errs['h10']:.6e}")
+        print(timer.report())
+        out = os.path.join(os.path.dirname(__file__), "elasticity_output")
+        os.makedirs(out, exist_ok=True)
+        try:
+            from phifem_tpu.utils.io import write_vti
+
+            write_vti(
+                os.path.join(out, "solution.vti"),
+                g,
+                point_data={
+                    "ux": s.u_lat[0], "uy": s.u_lat[1], "uz": s.u_lat[2]
+                },
+            )
+        except Exception as e:
+            print("vti write skipped:", e)
+        return
 
     with timer.phase("setup+assemble"):
         if args.scheme == "weak":

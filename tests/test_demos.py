@@ -54,3 +54,12 @@ def test_poisson3d_cli(scheme):
     out = _run("demo/poisson3d/main.py", scheme, "--n", "8")
     assert "converged=True" in out, out[-500:]
     assert "Relative L2 error" in out, out[-500:]
+
+
+def test_poisson3d_elasticity_cli():
+    out = _run(
+        "demo/poisson3d/main.py", "elasticity", "--n", "8",
+        "--tol", "1e-6", "--sweeps", "12", "--maxiter", "120",
+    )
+    assert "converged=True" in out, out[-500:]
+    assert "Relative L2 error" in out, out[-500:]

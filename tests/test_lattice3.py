@@ -123,3 +123,71 @@ def test_lattice3_f32_preconditioner_f64_cg():
     mg = s.lattice_solver(min_n=4, dtype=jnp.float32)
     r = s.solve_lattice(tol=1e-10, maxiter=40, mg=mg)
     assert r.converged and r.residual <= 1e-10, (r.iterations, r.residual)
+
+
+def test_block_mg_vsz1_matches_scalar():
+    """Lattice3BlockMG with vsz=1 must reproduce the validated scalar
+    Lattice3MG V-cycle exactly (same stencil, same transfers, same coarse
+    solve) — pins the block machinery against the scalar oracle."""
+    from phifem_tpu.ops.lattice3 import build_lattice3_block_mg
+
+    n = 8
+    sp = (1.0 / n,) * 3
+    mg_s = build_lattice3_mg(n, n, n, sp, stiffness=1.0, mass=0.5, min_n=4)
+    elem = lambda hx, hy, hz: hex_element_matrix(
+        hx, hy, hz, stiffness=1.0, mass=0.5
+    )
+    mg_b = build_lattice3_block_mg(n, n, n, sp, elem, vsz=1, min_n=4)
+    # same smoother damping for the comparison (block default is 0.6 for
+    # elasticity spectra; scalar Laplace uses the scalar default)
+    mg_b.omega = mg_s.omega
+    rng = np.random.default_rng(3)
+    D = R = C = n + 1
+    b = jnp.asarray(rng.standard_normal((D + 2, R + 2, C + 2)), jnp.float32)
+    zs = mg_s(b)
+    zb = mg_b(b[None])[0]
+    # f32 path: einsum vs scalar-multiply reduction orders differ by ULPs
+    assert np.abs(np.asarray(zs) - np.asarray(zb)).max() < 1e-5
+
+
+def test_block_mg_elasticity_vcycle_contracts():
+    """The (3x3)-block V-cycle on the Q1 linear-elasticity operator must
+    CONTRACT as a stationary iteration (block-Jacobi omega=0.6: the
+    elasticity block spectrum has lam_max(D^-1 A) ~ 2.64, so the old 0.8
+    default amplified and the cycle diverged — regression-pinned here)."""
+    from phifem_tpu.models.interface_elasticity import lame
+    from phifem_tpu.models.interface_elasticity3 import (
+        _elastic_element_matrix,
+    )
+    from phifem_tpu.ops.lattice3 import (
+        _conv_interior3_block,
+        build_lattice3_block_mg,
+    )
+
+    n = 8
+    sp = (1.0 / n,) * 3
+    lmbda, mu = lame(1.0, 0.3)
+    elem = lambda hx, hy, hz: _elastic_element_matrix(hx, hy, hz, lmbda, mu)
+    mg = build_lattice3_block_mg(n, n, n, sp, elem, vsz=3, min_n=4)
+    D = R = C = n + 1
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, D + 2, R + 2, C + 2)), jnp.float32)
+    # zero the padding and the boundary layer (identity rows in the cycle)
+    mask = np.zeros((3, D + 2, R + 2, C + 2), np.float32)
+    mask[:, 2:D, 2:R, 2:C] = 1.0
+    x = x * mask
+    W = mg.Ws[0]
+
+    def apply_A(v):
+        out = jnp.zeros_like(v)
+        return out.at[:, 2:D, 2:R, 2:C].set(
+            _conv_interior3_block(v, mg.offs, W, D, R, C)
+        )
+
+    # error-propagation norm over a few Richardson steps: e <- (I - M A) e
+    e = x
+    n0 = float(jnp.linalg.norm(e))
+    for _ in range(3):
+        e = (e - mg(apply_A(e))) * mask
+    rate = (float(jnp.linalg.norm(e)) / n0) ** (1 / 3)
+    assert rate < 0.35, rate
