@@ -393,10 +393,12 @@ def bench_s5_3d(n: int) -> dict:
     tol = float(os.environ.get("PHIFEM_BENCH_TOL", "1e-8"))
     defl = s.rigid_modes()
     r0, t_cold = _t(
-        s.solve, tol=tol, maxiter=400, precond=pc, deflate=defl
+        s.solve, method="fgmres", tol=tol, maxiter=400, precond=pc,
+        deflate=defl,
     )
     r, t_solve = _t(
-        s.solve, tol=tol, maxiter=400, precond=pc, deflate=defl
+        s.solve, method="fgmres", tol=tol, maxiter=400, precond=pc,
+        deflate=defl,
     )
     ndofs = 27 * s._N
     return {

@@ -132,9 +132,11 @@ def main():
         with timer.phase("precond setup"):
             pc = s.lattice_preconditioner(sweeps=args.sweeps)
         with timer.phase("solve"):
+            # FLEXIBLE GMRES: the cut-block inner band Krylov makes the
+            # preconditioner nonlinear; classical BiCGStab floors ~1e-8
             r = s.solve(
-                tol=args.tol, maxiter=args.maxiter, precond=pc,
-                deflate=s.rigid_modes(),
+                method="fgmres", tol=args.tol, maxiter=args.maxiter,
+                precond=pc, deflate=s.rigid_modes(),
             )
         print(
             f"iters {r.iterations} residual {r.residual:.2e} "

@@ -569,6 +569,9 @@ class InterfaceElasticity3:
         sweeps: Optional[int] = None,
         use_mg: bool = True,
         use_iface: bool = True,
+        use_coarse: bool = True,
+        inner: str = "krylov",
+        inner_omega: float = 1.0,
     ):
         """Per-side masked block V-cycles on the non-cut elasticity bulks
         (ui: Dirichlet box shell; uo: floating sphere interior) + damped
@@ -690,7 +693,8 @@ class InterfaceElasticity3:
             # coefficient (CLAUDE.md)
             sweeps = max(40, int(0.8 * len(ids) ** 0.5))
         iface_apply = make_interface_apply(
-            ids, A_csr, ras, dense_max=dense_max, sweeps=sweeps
+            ids, A_csr, ras, dense_max=dense_max, sweeps=sweeps,
+            inner=inner, inner_omega=inner_omega,
         )
 
         def iface(rf):
@@ -710,6 +714,29 @@ class InterfaceElasticity3:
             return jnp.concatenate(
                 [x["ui"], x["uo"], x["yi"], x["yo"], x["p"]]
             )
+
+        # rank-6 Galerkin coarse correction over the FLOATING side's rigid
+        # modes (uo has no Dirichlet row; a relative rigid motion's energy
+        # sits entirely in the O(h)-thin penalty band, so bulk MG + band
+        # solve reduce it at 1 - O(h) and outer iterations grow like 1/h —
+        # measured here: contraction 0.6/iter at n=8 but 0.91/iter at
+        # n=16 without this; the 2D S5 measured 15/39/108 -> grid-
+        # independent with it, mg.attach_coarse_correction's rationale).
+        # Collective motions are the EXACT null space, handled by
+        # deflation.
+        Zs, AZs = [], []
+        for m in self.rigid_modes():
+            mm = dict(m)
+            mm["ui"] = jnp.zeros_like(m["ui"])
+            mm = {
+                k: jnp.where(active[k], mm[k], 0.0) for k in mm
+            }
+            Zs.append(np.asarray(flat(mm), np.float64))
+            AZs.append(np.asarray(flat(self.matvec(mm)), np.float64))
+        Z_np = np.stack(Zs)
+        G = Z_np @ np.stack(AZs).T
+        Z = jnp.asarray(Z_np)
+        Ginv = jnp.asarray(np.linalg.pinv(G, rcond=1e-12))
 
         def bulk_cycle(r_u, mg, bulk_flat):
             r3 = jnp.where(bulk_flat, r_u, 0.0).reshape(3, D, R, C)
@@ -747,16 +774,32 @@ class InterfaceElasticity3:
                 "yo": jac["yo"],
                 "p": jac["p"],
             }
-            if not use_iface:
+            if use_iface:
+                Ax = self.matvec(
+                    jax.tree.map(
+                        lambda xi, mm: jnp.where(mm, xi, 0.0), x, active
+                    )
+                )
+                res = jax.tree.map(
+                    lambda ri, ai, mm: jnp.where(mm, ri - ai, 0.0),
+                    r, Ax, active,
+                )
+                corr = iface(flat(res))
+                x = split(flat(x) + corr)
+            if not use_coarse:
                 return x
-            Ax = self.matvec(
+            # multiplicative rank-6 rigid coarse step (one extra matvec)
+            Ax2 = self.matvec(
                 jax.tree.map(lambda xi, mm: jnp.where(mm, xi, 0.0), x, active)
             )
-            res = jax.tree.map(
-                lambda ri, ai, mm: jnp.where(mm, ri - ai, 0.0), r, Ax, active
+            rf2 = flat(
+                jax.tree.map(
+                    lambda ri, ai, mm: jnp.where(mm, ri - ai, 0.0),
+                    r, Ax2, active,
+                )
             )
-            corr = iface(flat(res))
-            return split(flat(x) + corr)
+            alpha = Ginv.astype(rf2.dtype) @ (Z.astype(rf2.dtype) @ rf2)
+            return split(flat(x) + Z.astype(rf2.dtype).T @ alpha)
 
         return precond
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..solvers import SolveResult, _pbicgstab, _pcg
+from ..solvers import SolveResult, _pbicgstab, _pcg, _pfgmres
 
 Array = jnp.ndarray
 
@@ -227,7 +227,12 @@ def make_equilibrated_runner(
             b_eq = _proj(b_eq)
 
         x0 = jax.tree.map(jnp.zeros_like, b_eq)
-        runner = _pcg if method == "cg" else _pbicgstab
+        if method == "cg":
+            runner = _pcg
+        elif method == "fgmres":
+            runner = _pfgmres
+        else:
+            runner = _pbicgstab
         x, it = runner(mv, b_eq, x0, tol=tol, atol=0.0, maxiter=maxiter, M=M)
         r = jax.tree.map(lambda bi, ai: bi - ai, b_eq, mv(x))
         rn = jnp.sqrt(sum(jnp.vdot(v, v).real for v in jax.tree.leaves(r)))
@@ -326,12 +331,22 @@ def build_interface_block(
     return ids, A, ras
 
 
-def make_interface_apply(ids, A_csr, ras_blocks, dense_max=4000, sweeps=None):
+def make_interface_apply(
+    ids, A_csr, ras_blocks, dense_max=4000, sweeps=None,
+    inner="krylov", inner_omega=1.0,
+):
     """Compile the interface-block correction ``corr = A_II^{-1} rf[ids]``:
-    a dense inverse for small blocks, else inner BiCGStab on the
+    a dense inverse for small blocks, else an inner solve on the
     device-resident ELL band matrix with RAS block preconditioning (the
     generic version of the solve inside
-    ``WeakDirichletPoisson3.lattice_preconditioner``)."""
+    ``WeakDirichletPoisson3.lattice_preconditioner``).
+
+    ``inner="krylov"`` (default) runs inner BiCGStab — fastest per sweep
+    but NONLINEAR in the right-hand side when it exits on the sweep cap
+    instead of its tolerance, which floors an outer classical BiCGStab at
+    the inner inconsistency level.  ``inner="richardson"`` runs ``sweeps``
+    damped RAS-Richardson iterations — a LINEAR fixed operator, safe under
+    any outer Krylov."""
     m = ids.shape[0]
     ids_j = jnp.asarray(ids)
     if m <= dense_max:
@@ -394,9 +409,20 @@ def make_interface_apply(ids, A_csr, ras_blocks, dense_max=4000, sweeps=None):
             out = jnp.zeros(m + 1, dt).at[bids].add(upd)
             return out[:m]
 
-        corr, _ = jax.scipy.sparse.linalg.bicgstab(
-            band_mv, rb, M=band_ras, tol=1e-8, atol=0.0, maxiter=n_sweeps
-        )
+        if inner == "richardson":
+            om = jnp.asarray(inner_omega, dt)
+
+            def rich_step(k, z):
+                return z + om * band_ras(rb - band_mv(z))
+
+            corr = jax.lax.fori_loop(
+                0, n_sweeps, rich_step, om * band_ras(rb)
+            )
+        else:
+            corr, _ = jax.scipy.sparse.linalg.bicgstab(
+                band_mv, rb, M=band_ras, tol=1e-8, atol=0.0,
+                maxiter=n_sweeps,
+            )
         return ids_j, corr
 
     return apply

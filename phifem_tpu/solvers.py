@@ -217,12 +217,13 @@ def _pbicgstab(matvec, b, x0, *, tol, atol, maxiter, M):
     """Preconditioned BiCGStab on pytrees: one ``lax.while_loop``, counted.
 
     Matches the classical recurrence (right-preconditioned form); exits on
-    the true-residual norm test, rho/omega breakdown (NaNs propagate to a
+    the true-residual norm test, omega breakdown (NaNs propagate to a
     non-finite residual, which also stops the loop), or runaway divergence
-    (residual 1e8x past its best).  Returns the BEST iterate seen, not the
-    last one — after a stagnation-then-breakdown the classical recurrence
-    can wander arbitrarily far, which would turn a near-converged solve
-    into garbage (observed on the S5-3D block-MG path)."""
+    (residual 1e8x past its best).  A rho breakdown (loss of rhat
+    orthogonality after stagnation — observed on the preconditioned S5-3D
+    system around 1e-8 relative) RESTARTS the recurrence with rhat = r
+    instead of wandering.  Returns the BEST iterate seen, not the last
+    one, so a late breakdown cannot destroy a near-converged solve."""
     bnorm2 = tree_dot32(b, b)
     target2 = jnp.maximum(tol * tol * bnorm2, jnp.asarray(atol) ** 2)
 
@@ -245,7 +246,18 @@ def _pbicgstab(matvec, b, x0, *, tol, atol, maxiter, M):
     def body(st):
         x, r, rhat, p, v, rho, alpha, omega, it, xb, rrb = st
         rho_new = tree_dot32(rhat, r)
-        beta = jnp.where(it == 0, 0.0, (rho_new / rho) * (alpha / omega))
+        rr_cur = tree_dot32(r, r)
+        rhat2 = tree_dot32(rhat, rhat)
+        restart = jnp.abs(rho_new) < 1e-12 * jnp.sqrt(rr_cur * rhat2)
+        rhat = jax.tree.map(
+            lambda hi, ri: jnp.where(restart, ri, hi), rhat, r
+        )
+        rho_new = jnp.where(restart, rr_cur, rho_new)
+        beta = jnp.where(
+            jnp.logical_or(it == 0, restart),
+            0.0,
+            (rho_new / rho) * (alpha / omega),
+        )
         p = jax.tree.map(
             lambda ri, pi, vi: ri + beta * (pi - omega * vi), r, p, v
         )
@@ -272,6 +284,91 @@ def _pbicgstab(matvec, b, x0, *, tol, atol, maxiter, M):
         cond, body, state
     )
     return xb, it
+
+
+def _pfgmres(matvec, b, x0, *, tol, atol, maxiter, M, restart=20):
+    """Restarted FLEXIBLE GMRES on pytrees (one ``lax.while_loop`` over
+    restart cycles, statically-shaped Arnoldi inside).
+
+    The flexible variant (Saad 1993; PETSc ``KSPFGMRES``) stores the
+    preconditioned basis Z separately, so M may change between
+    applications — required when M itself contains an inner ITERATIVE
+    solve that exits on a sweep cap (e.g. the cut-block band Krylov of the
+    S5-3D preconditioner): such an M is nonlinear in its input and floors
+    classical BiCGStab at the inner inconsistency level (measured ~1e-8),
+    while FGMRES converges through it.  Memory: (2*restart+1) basis
+    vectors."""
+    leaves, treedef = jax.tree.flatten(b)
+    sizes = [int(np.prod(l.shape)) for l in leaves]
+    shapes = [l.shape for l in leaves]
+
+    def fl(t):
+        return jnp.concatenate(
+            [x.reshape(-1) for x in jax.tree.leaves(t)]
+        )
+
+    def unfl(v):
+        out, o = [], 0
+        for s, sh in zip(sizes, shapes):
+            out.append(v[o : o + s].reshape(sh))
+            o += s
+        return jax.tree.unflatten(treedef, out)
+
+    A = lambda v: fl(matvec(unfl(v)))
+    Mf = lambda v: fl(M(unfl(v)))
+    bf = fl(b)
+    x0f = fl(x0)
+    n = bf.shape[0]
+    m = int(restart)
+    dt = bf.dtype
+    bnorm = jnp.linalg.norm(bf)
+    target = jnp.maximum(tol * bnorm, jnp.asarray(atol, dt))
+    kidx = jnp.arange(m + 1)
+
+    def arnoldi(j, carry):
+        V, Z, H = carry
+        z = Mf(V[j])
+        w = A(z)
+        mask = (kidx <= j).astype(dt)
+        h = (V @ w) * mask  # MGS, two passes for orthogonality
+        w = w - V.T @ h
+        h2 = (V @ w) * mask
+        w = w - V.T @ h2
+        h = h + h2
+        hj = jnp.linalg.norm(w)
+        V = V.at[j + 1].set(w / jnp.maximum(hj, 1e-300))
+        H = H.at[:, j].set(h + hj * (kidx == j + 1).astype(dt))
+        Z = Z.at[j].set(z)
+        return V, Z, H
+
+    def cycle(state):
+        x, it, _ = state
+        r = bf - A(x)
+        beta = jnp.linalg.norm(r)
+        V0 = jnp.zeros((m + 1, n), dt).at[0].set(
+            r / jnp.maximum(beta, 1e-300)
+        )
+        Z0 = jnp.zeros((m, n), dt)
+        H0 = jnp.zeros((m + 1, m), dt)
+        V, Z, H = jax.lax.fori_loop(0, m, arnoldi, (V0, Z0, H0))
+        e1 = jnp.zeros(m + 1, dt).at[0].set(beta)
+        y = jnp.linalg.lstsq(H, e1)[0]
+        x = x + Z.T @ y
+        rest = jnp.linalg.norm(e1 - H @ y)
+        return x, it + m, rest
+
+    def cond(state):
+        x, it, rnorm = state
+        ok = jnp.isfinite(rnorm)
+        return jnp.logical_and(
+            jnp.logical_and(rnorm > target, it < maxiter), ok
+        )
+
+    r0n = jnp.linalg.norm(bf - A(x0f))
+    x, it, _ = jax.lax.while_loop(
+        cond, cycle, (x0f, jnp.asarray(0, jnp.int32), r0n)
+    )
+    return unfl(x), it
 
 
 def solve(
@@ -309,7 +406,7 @@ def solve(
 
     if maxiter is None:
         maxiter = 25 * int(np.sqrt(op.system.num_dofs)) + 1000
-    if method not in ("cg", "bicgstab", "gmres"):
+    if method not in ("cg", "bicgstab", "gmres", "fgmres"):
         raise ValueError(f"Unknown method {method!r}.")
 
     # build (and refresh) the tap form OUTSIDE the trace — host work
@@ -430,6 +527,10 @@ def solve(
                     M=M, restart=50, solve_method="batched",
                 )
                 it = jnp.asarray(-1, jnp.int32)  # gmres: count unavailable
+            elif method == "fgmres":
+                x, it = _pfgmres(
+                    mv_eq, b_eq, x0_eq, tol=tol, atol=atol, maxiter=maxiter, M=M
+                )
             else:
                 runner = _pcg if method == "cg" else _pbicgstab
                 x, it = runner(
