@@ -39,6 +39,7 @@ from .elements import dg0_element, lagrange_element
 from .spaces import Function, Space, interpolate
 from .tagging import EntityTags, TagsMeasures, compute_tags_measures, tag_cells, tag_facets
 from .measures import BoundaryMeasure, FacetSideList
+from .umesh import UDiscreteLevelset, UMesh, USideList, USubmesh
 
 __version__ = "0.1.0"
 
@@ -56,6 +57,10 @@ __all__ = [
     "tag_facets",
     "BoundaryMeasure",
     "FacetSideList",
+    "UMesh",
+    "UDiscreteLevelset",
+    "USideList",
+    "USubmesh",
     "lagrange_element",
     "dg0_element",
 ]

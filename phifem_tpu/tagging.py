@@ -445,8 +445,24 @@ def compute_tags_measures(
     ``levelset`` is a callable ``phi(x)`` or a discrete
     :class:`~phifem_tpu.spaces.Function`; ``overwrite`` optionally maps
     ``{"cells": {tag: indices}, "facets": {tag: indices}}``.
+
+    ``grid`` may also be an imported unstructured mesh
+    (:class:`~phifem_tpu.umesh.UMesh` — the reference's XDMF-mesh path,
+    ``tests/test_compute_meshtags.py:136-137``), in which case the
+    vectorized host pipeline in :mod:`phifem_tpu.umesh` runs instead.
     """
     from .spaces import Function as _Function
+    from .umesh import UMesh as _UMesh, compute_tags_measures_unstructured
+
+    if isinstance(grid, _UMesh):
+        return compute_tags_measures_unstructured(
+            grid,
+            levelset,
+            detection_degree,
+            box_mode=box_mode,
+            single_layer_cut=single_layer_cut,
+            overwrite=overwrite,
+        )
 
     if isinstance(levelset, _Function):
         out = _tags_jit(
