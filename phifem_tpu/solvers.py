@@ -441,14 +441,44 @@ def solve(
     cache = getattr(op, "_solve_cache", None)
     if cache is None:
         cache = op._solve_cache = {}
-    _run = cache.get(cache_key)
-    if _run is None:
+    cached = cache.get(cache_key)
+    if cached is None:
+        # Hoist the preconditioner's captured device tables (MG level
+        # stencils/masks, interface band matrices, dense block inverses)
+        # out of the closure and into jit ARGUMENTS: closed-over arrays
+        # are embedded in the lowered HLO as literal constants, which at
+        # production sizes makes the module tens of MB — enough to blow a
+        # remote-compile transport limit (observed: HTTP 413 on the S5
+        # n=240 solve) and to duplicate the tables in every executable.
+        # (jax.closure_convert is NOT the tool: it only hoists closed-over
+        # *tracers*; concrete arrays stay embedded.)  Trace the
+        # preconditioner once and splice its jaxpr with the consts passed
+        # as runtime arguments instead.
+        if precond is not None:
+            ex = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), b
+            )
+            closed, out_shape = jax.make_jaxpr(
+                lambda r: precond(r), return_shape=True
+            )(ex)
+            p_out_tree = jax.tree.structure(out_shape)
+            _p_jaxpr, pconsts = closed.jaxpr, list(closed.consts)
+
+            def _pfun(r, consts):
+                out = jax.core.eval_jaxpr(
+                    _p_jaxpr, consts, *jax.tree.leaves(r)
+                )
+                return jax.tree.unflatten(p_out_tree, out)
+
+        else:
+            _pfun, pconsts = None, []
 
         @jax.jit
-        def _run(b, x0, dyn, defl):
-            # x0/dyn are ARGUMENTS (jax.jit retraces per structure), not
-            # closures — callers may pass x0 or not, and dyn carries the
-            # data-dependent weights/matrices across reassembles
+        def _run(b, x0, dyn, defl, pdyn):
+            # x0/dyn/pdyn are ARGUMENTS (jax.jit retraces per structure),
+            # not closures — callers may pass x0 or not, dyn carries the
+            # data-dependent weights/matrices across reassembles, and pdyn
+            # carries the preconditioner's hoisted tables
             matvec, diag, active = masked_operator(op, bcs, dyn=dyn)
             b_l = lift_rhs(op, b, bcs, active, raw_matvec=matvec.raw)
 
@@ -472,9 +502,10 @@ def solve(
             if precond is not None:
                 # wrap a preconditioner P ~ A^-1 of the unscaled system:
                 # M = D^1/2 P D^1/2 ~ (D^-1/2 A D^-1/2)^-1
+                papply = lambda r: _pfun(r, pdyn)
                 M = lambda r: jax.tree.map(
                     lambda vi, di: vi * di,
-                    precond(jax.tree.map(lambda ri, di: ri * di, r, dsqrt)),
+                    papply(jax.tree.map(lambda ri, di: ri * di, r, dsqrt)),
                     dsqrt,
                 )
             else:
@@ -548,9 +579,10 @@ def solve(
                 [rnorm / jnp.maximum(bnorm, 1e-300), it.astype(rnorm.dtype)]
             )
 
-        cache[cache_key] = _run
+        cached = cache[cache_key] = (_run, pconsts)
 
-    x, stats = _run(b, x0, dyn_args, deflate)
+    _run, pconsts = cached
+    x, stats = _run(b, x0, dyn_args, deflate, pconsts)
     stats = np.asarray(stats)
     rel, iters = float(stats[0]), int(stats[1])
     return SolveResult(

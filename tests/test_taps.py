@@ -211,7 +211,7 @@ def test_warm_pipeline_no_retrace_after_reassemble():
     r1 = s.solve(method="bicgstab", tol=1e-10, maxiter=1000)
     assert r1.converged
     runner_keys = set(s.op._solve_cache.keys())
-    runner = next(iter(s.op._solve_cache.values()))
+    runner, _ = next(iter(s.op._solve_cache.values()))
     n_traces = runner._cache_size()
 
     # new data, same topology: phi scaled => penalty terms change
