@@ -40,6 +40,8 @@ from .spaces import Function, Space, interpolate
 from .tagging import EntityTags, TagsMeasures, compute_tags_measures, tag_cells, tag_facets
 from .measures import BoundaryMeasure, FacetSideList
 from .umesh import UDiscreteLevelset, UMesh, USideList, USubmesh
+from .uassembly import UFunction, USpace
+from .uassembly import interpolate as interpolate_u
 
 __version__ = "0.1.0"
 
@@ -61,6 +63,9 @@ __all__ = [
     "UDiscreteLevelset",
     "USideList",
     "USubmesh",
+    "USpace",
+    "UFunction",
+    "interpolate_u",
     "lagrange_element",
     "dg0_element",
 ]

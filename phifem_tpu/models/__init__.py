@@ -23,8 +23,10 @@ from .robin3 import RobinPoisson3
 from .strong_dirichlet3 import StrongDirichletPoisson3
 from .weak_dirichlet3 import WeakDirichletPoisson3
 from .interface_elasticity3 import InterfaceElasticity3
+from .unstructured import WeakDirichletPoissonU
 
 __all__ = [
+    "WeakDirichletPoissonU",
     "WeakDirichletPoisson",
     "StrongDirichletPoisson",
     "NeumannPoisson",

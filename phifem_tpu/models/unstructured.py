@@ -1,0 +1,196 @@
+"""phi-FEM schemes on imported (unstructured) meshes.
+
+The reference runs every scheme on whatever dolfinx mesh it is handed —
+including imported XDMF meshes like its golden ``disk.xdmf``
+(``tests/test_compute_meshtags.py:136-137``).  This module provides the
+same capability for the flagship S1 weak-Dirichlet scheme: the EXACT form
+definitions of the structured scheme (shared via
+:func:`phifem_tpu.models.weak_dirichlet.s1_forms`) assembled through the
+unstructured backend (:mod:`phifem_tpu.uassembly`) and solved with the
+same equilibrated Krylov stack.  On a ``UMesh.from_grid`` copy of a
+structured grid this reproduces the structured solution to solver
+tolerance (pinned in ``tests/test_usolve.py``) — the two backends
+discretize identically; only the geometry bookkeeping differs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assembly import CellTerm
+from ..solvers import SolveResult, solve
+from ..tagging import compute_tags_measures
+from ..uassembly import (
+    UFunction,
+    USpace,
+    assemble_operator,
+    assemble_scalar,
+    assemble_vector,
+    interpolate,
+)
+from ..umesh import UMesh, _u_build_submesh
+from ..assembly import System
+from .weak_dirichlet import s1_forms
+
+LevelSetLike = Union[Callable, UFunction]
+
+
+def _grad_of(f: Callable) -> Callable:
+    """Batched gradient of a pointwise scalar callable ``f((n,2)) -> (n,)``
+    (rows decouple, so ``grad(sum(f))`` is the per-row gradient)."""
+    g = jax.grad(lambda pts: jnp.sum(f(pts)))
+    return lambda pts: g(pts)
+
+
+@dataclasses.dataclass
+class USchemeBase:
+    """Shared tagging/measure/error machinery for unstructured schemes —
+    the :class:`~phifem_tpu.models.base.SchemeBase` twin for ``UMesh``."""
+
+    mesh: UMesh
+    mode: str = "bg"
+    detection_degree: int = 1
+    single_layer_cut: bool = False
+    pen_coef: float = 1.0
+    stab_coef: float = 1.0
+
+    def tag(self, detection_levelset: LevelSetLike):
+        res = compute_tags_measures(
+            self.mesh,
+            detection_levelset,
+            self.detection_degree,
+            box_mode=True,
+            single_layer_cut=self.single_layer_cut,
+        )
+        self.tags = res
+        self.cell_tags = res.cells_tags.as_numpy()
+        self.facet_tags = res.facets_tags.as_numpy()
+        if self.mode == "sub":
+            self.submesh = _u_build_submesh(
+                self.mesh, self.cell_tags, self.facet_tags
+            )
+        else:
+            self.submesh = None
+        return res
+
+    def boundary_measure(self):
+        if self.mode == "bg":
+            return self.tags.boundaries_measure(100)
+        return self.submesh.exterior
+
+    def solve(self, method: str = "bicgstab", tol: float = 1e-10, **kw) -> SolveResult:
+        res = solve(self.op, self.b, method=method, tol=tol, **kw)
+        self.result = res
+        return res
+
+    def l2_h1_errors(
+        self,
+        uh: UFunction,
+        exact: Callable,
+        exact_grad: Optional[Callable] = None,
+        region=(1, 2),
+        ref_degree: Optional[int] = None,
+    ):
+        """Relative L2/H10/H1 errors vs an analytic solution by direct
+        high-order quadrature of ``u_h - u`` over the region cells (the
+        irregular-mesh analogue of the reference's refined-space protocol;
+        ``exact_grad`` defaults to autodiff of ``exact``)."""
+        deg = 2 * ((ref_degree or uh.space.degree + 2))
+        guex = exact_grad or _grad_of(exact)
+
+        def _scalar(integrand):
+            return float(
+                assemble_scalar(
+                    self.mesh,
+                    cell_terms=[
+                        (
+                            CellTerm(integrand, tuple(region), degree=deg),
+                            {"u": uh, "uex": exact, "guex": guex},
+                        )
+                    ],
+                    cell_tags=self.cell_tags,
+                )
+            )
+
+        l2_num = _scalar(lambda d, x, ctx: (d["u"].val - d["uex"].val) ** 2)
+        l2_den = _scalar(lambda d, x, ctx: d["uex"].val ** 2)
+        h1_num = _scalar(
+            lambda d, x, ctx: jnp.sum((d["u"].grad - d["guex"].val) ** 2)
+        )
+        h1_den = _scalar(lambda d, x, ctx: jnp.sum(d["guex"].val ** 2))
+        return {
+            "l2": float(np.sqrt(l2_num / l2_den)),
+            "h10": float(np.sqrt(h1_num / h1_den)),
+            "h1": float(np.sqrt((l2_num + h1_num) / (l2_den + h1_den))),
+        }
+
+
+@dataclasses.dataclass
+class WeakDirichletPoissonU(USchemeBase):
+    """S1 weak-Dirichlet phi-FEM Poisson on an imported mesh (reference
+    ``demo/weak-dirichlet/flower/main.py:102-154`` run on an arbitrary
+    dolfinx mesh)."""
+
+    primal_degree: int = 1
+    levelset_degree: int = 1
+
+    def setup(
+        self,
+        levelset: LevelSetLike,
+        f: Union[Callable, UFunction],
+        u_D: Union[Callable, UFunction, None] = None,
+        detection_levelset: Optional[LevelSetLike] = None,
+    ):
+        self.tag(detection_levelset if detection_levelset is not None else levelset)
+        V = USpace.lagrange(self.mesh, self.primal_degree)
+        Vphi = USpace.lagrange(self.mesh, self.levelset_degree)
+        self.V, self.Vphi = V, Vphi
+        self.system = System({"u": V, "p": V})
+        self.phi_h = levelset if isinstance(levelset, UFunction) else interpolate(levelset, Vphi)
+        self.f_h = f if isinstance(f, UFunction) else interpolate(f, V)
+        if u_D is None:
+            u_D = lambda x: jnp.zeros(x.shape[:-1])
+        self.u_D = u_D if isinstance(u_D, UFunction) else interpolate(u_D, V)
+        self._setup_args = (levelset, f, u_D, detection_levelset)
+        return self
+
+    def assemble(self, rhs: bool = True):
+        cell_terms, facet_terms, boundary_terms, rhs_cell_terms = s1_forms(
+            self.pen_coef,
+            self.stab_coef,
+            self.primal_degree,
+            self.levelset_degree,
+            self.phi_h,
+            self.f_h,
+            self.u_D,
+            self.boundary_measure(),
+        )
+        self.op = assemble_operator(
+            self.system,
+            self.mesh,
+            cell_terms=cell_terms,
+            facet_terms=facet_terms,
+            boundary_terms=boundary_terms,
+            cell_tags=self.cell_tags,
+            facet_tags=self.facet_tags,
+        )
+        if not rhs:
+            return self
+        self.b = assemble_vector(
+            self.system,
+            self.mesh,
+            cell_terms=rhs_cell_terms,
+            cell_tags=self.cell_tags,
+        )
+        return self
+
+    def solve(self, method: str = "bicgstab", tol: float = 1e-10, **kw) -> SolveResult:
+        res = super().solve(method=method, tol=tol, **kw)
+        self.u_h = UFunction(self.V, res.x["u"])
+        self.p_h = UFunction(self.V, res.x["p"])
+        return res

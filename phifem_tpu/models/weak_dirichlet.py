@@ -35,6 +35,72 @@ from ..spaces import Function, Space, interpolate
 from .base import LevelSetLike, SchemeBase
 
 
+def s1_forms(pen, stab, primal_degree, levelset_degree, phi_h, f_h, u_D, ds):
+    """The S1 weak-Dirichlet term lists (operator + RHS), shared verbatim
+    by the structured scheme below and the unstructured one
+    (:class:`phifem_tpu.models.unstructured.WeakDirichletPoissonU`) — one
+    definition of the discrete form, two mesh backends.
+
+    Returns ``(cell_terms, facet_terms, boundary_terms, rhs_cell_terms)``
+    ready for either ``assembly.assemble_operator`` or
+    ``uassembly.assemble_operator``."""
+    qdeg = 2 * (primal_degree + levelset_degree)
+
+    def stiffness(u, v, d, x, ctx):
+        return jnp.dot(u["u"].grad, v["u"].grad)
+
+    def boundary_flux(u, v, d, x, n, ctx):
+        return -jnp.dot(u["u"].grad, n) * v["u"].val
+
+    def penalty(u, v, d, x, ctx):
+        h = ctx.h
+        phi = d["phi"].val
+        uu = u["u"].val - phi * u["p"].val / h
+        vv = v["u"].val - phi * v["p"].val / h
+        return pen / h**2 * uu * vv
+
+    def cell_stab(u, v, d, x, ctx):
+        return stab * ctx.h**2 * u["u"].lap * v["u"].lap
+
+    def ghost(u0, u1, v0, v1, d0, d1, x, n, ctx):
+        ju = jnp.dot(u0["u"].grad - u1["u"].grad, n)
+        jv = jnp.dot(v0["u"].grad - v1["u"].grad, n)
+        return stab * ctx.h * ju * jv
+
+    def rhs_bulk(v, d, x, ctx):
+        return d["f"].val * v["u"].val
+
+    def rhs_penalty(v, d, x, ctx):
+        h = ctx.h
+        return (
+            pen / h**2 * d["uD"].val * (v["u"].val - d["phi"].val * v["p"].val / h)
+        )
+
+    def rhs_stab(v, d, x, ctx):
+        return -stab * ctx.h**2 * d["f"].val * v["u"].lap
+
+    cell_terms = [
+        (CellTerm(stiffness, (1, 2), degree=2 * primal_degree, uniform=True), {}),
+        (CellTerm(penalty, (2,), degree=qdeg), {"phi": phi_h}),
+        (CellTerm(cell_stab, (2,), degree=2 * primal_degree, uniform=True), {}),
+    ]
+    facet_terms = [
+        (FacetTerm(ghost, region=(2, 3), npts=max(2, primal_degree)), {})
+    ]
+    boundary_terms = [
+        (BoundaryTerm(boundary_flux, ds, npts=primal_degree + 1), {})
+    ]
+    rhs_cell_terms = [
+        (CellTerm(rhs_bulk, (1, 2), degree=qdeg), {"f": f_h}),
+        (
+            CellTerm(rhs_penalty, (2,), degree=qdeg),
+            {"f": f_h, "uD": u_D, "phi": phi_h},
+        ),
+        (CellTerm(rhs_stab, (2,), degree=qdeg), {"f": f_h}),
+    ]
+    return cell_terms, facet_terms, boundary_terms, rhs_cell_terms
+
+
 @dataclasses.dataclass
 class WeakDirichletPoisson(SchemeBase):
     """phi-FEM weak-Dirichlet Poisson solver."""
@@ -70,79 +136,32 @@ class WeakDirichletPoisson(SchemeBase):
 
     def assemble(self, rhs: bool = True):
         g = self.grid
-        pen, stab = self.pen_coef, self.stab_coef
-        qdeg = 2 * (self.primal_degree + self.levelset_degree)
-
-        def stiffness(u, v, d, x, ctx):
-            return jnp.dot(u["u"].grad, v["u"].grad)
-
-        def boundary_flux(u, v, d, x, n, ctx):
-            return -jnp.dot(u["u"].grad, n) * v["u"].val
-
-        def penalty(u, v, d, x, ctx):
-            h = ctx.h
-            phi = d["phi"].val
-            uu = u["u"].val - phi * u["p"].val / h
-            vv = v["u"].val - phi * v["p"].val / h
-            return pen / h**2 * uu * vv
-
-        def cell_stab(u, v, d, x, ctx):
-            return stab * ctx.h**2 * u["u"].lap * v["u"].lap
-
-        def ghost(u0, u1, v0, v1, d0, d1, x, n, ctx):
-            ju = jnp.dot(u0["u"].grad - u1["u"].grad, n)
-            jv = jnp.dot(v0["u"].grad - v1["u"].grad, n)
-            return stab * ctx.h * ju * jv
-
-        ds = self.boundary_measure()
+        cell_terms, facet_terms, boundary_terms, rhs_cell_terms = s1_forms(
+            self.pen_coef,
+            self.stab_coef,
+            self.primal_degree,
+            self.levelset_degree,
+            self.phi_h,
+            self.f_h,
+            self.u_D,
+            self.boundary_measure(),
+        )
         self.op = assemble_operator(
             self.system,
             g,
-            cell_terms=[
-                (CellTerm(stiffness, (1, 2), degree=2 * self.primal_degree, uniform=True), {}),
-                (CellTerm(penalty, (2,), degree=qdeg), {"phi": self.phi_h}),
-                (CellTerm(cell_stab, (2,), degree=2 * self.primal_degree, uniform=True), {}),
-            ],
-            facet_terms=[
-                (FacetTerm(ghost, region=(2, 3), npts=max(2, self.primal_degree)), {})
-            ],
-            boundary_terms=[
-                (BoundaryTerm(boundary_flux, ds, npts=self.primal_degree + 1), {})
-            ],
+            cell_terms=cell_terms,
+            facet_terms=facet_terms,
+            boundary_terms=boundary_terms,
             cell_tags=self.cell_tags,
             facet_tags=self.facet_tags,
         )
-
-        def rhs_bulk(v, d, x, ctx):
-            return d["f"].val * v["u"].val
-
-        def rhs_penalty(v, d, x, ctx):
-            h = ctx.h
-            return (
-                pen
-                / h**2
-                * d["uD"].val
-                * (v["u"].val - d["phi"].val * v["p"].val / h)
-            )
-
-        def rhs_stab(v, d, x, ctx):
-            return -stab * ctx.h**2 * d["f"].val * v["u"].lap
-
         if not rhs:
             # operator-only path (multigrid coarse levels skip the RHS)
             return self
-
         self.b = assemble_vector(
             self.system,
             g,
-            cell_terms=[
-                (CellTerm(rhs_bulk, (1, 2), degree=qdeg), {"f": self.f_h}),
-                (
-                    CellTerm(rhs_penalty, (2,), degree=qdeg),
-                    {"f": self.f_h, "uD": self.u_D, "phi": self.phi_h},
-                ),
-                (CellTerm(rhs_stab, (2,), degree=qdeg), {"f": self.f_h}),
-            ],
+            cell_terms=rhs_cell_terms,
             cell_tags=self.cell_tags,
         )
         return self

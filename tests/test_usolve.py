@@ -1,0 +1,223 @@
+"""Unstructured (imported-mesh) ASSEMBLY + SOLVE path.
+
+The reference assembles and solves its schemes on arbitrary dolfinx
+meshes; this pins the same capability here:
+
+* the unstructured backend reproduces the structured backend's assembled
+  operator ENTRY-FOR-ENTRY on a ``UMesh.from_grid`` copy (same cells,
+  same vertex numbering — the two code paths must agree to roundoff),
+* the S1 solve matches the structured solution,
+* genuine irregular geometry works: O(h^2) L2 convergence on randomly
+  perturbed triangulations, and an end-to-end solve on the reference's
+  own unstructured ``disk.xdmf``.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import phifem_tpu as pf
+from phifem_tpu.models import WeakDirichletPoisson, WeakDirichletPoissonU
+from phifem_tpu.uassembly import USpace, UFunction
+from phifem_tpu.uassembly import interpolate as uinterp
+from phifem_tpu.umesh import UMesh
+
+BOX = ((-1.0, -1.0), (1.0, 1.0))
+R = 0.7
+
+
+def phi_circle(x):
+    return x[..., 0] ** 2 + x[..., 1] ** 2 - R**2
+
+
+def u_mild(x):
+    return jnp.cos(x[..., 0]) * jnp.sin(x[..., 1])
+
+
+def f_mild(x):
+    return 2.0 * u_mild(x)
+
+
+def _structured(n, **kw):
+    g = pf.Grid(n, n, BOX, pf.CellType.triangle)
+    s = WeakDirichletPoisson(g, mode="bg", **kw)
+    s.setup(phi_circle, f_mild, u_D=u_mild)
+    s.assemble()
+    return s
+
+
+def _unstructured(mesh, **kw):
+    s = WeakDirichletPoissonU(mesh, mode="bg", **kw)
+    s.setup(phi_circle, f_mild, u_D=u_mild)
+    s.assemble()
+    return s
+
+
+# ------------------------------------------------------- backend equality
+def test_uassembly_matches_structured_dense():
+    """On a from_grid copy the two assembly backends build the SAME
+    linear system (P1 DoFs are vertex ids in both numberings)."""
+    n = 8
+    ss = _structured(n)
+    um, _ = UMesh.from_grid(pf.Grid(n, n, BOX, pf.CellType.triangle))
+    su = _unstructured(um)
+
+    A_s = ss.op.to_dense()
+    A_u = su.op.to_dense()
+    scale = np.abs(A_s).max()
+    assert np.abs(A_s - A_u).max() < 1e-10 * scale, np.abs(A_s - A_u).max()
+
+    for name in ("u", "p"):
+        bs = np.asarray(ss.b[name])
+        bu = np.asarray(su.b[name])
+        bscale = max(np.abs(bs).max(), 1e-300)
+        assert np.abs(bs - bu).max() < 1e-10 * bscale, name
+
+
+def test_usolve_matches_structured_solution():
+    n = 16
+    ss = _structured(n)
+    rs = ss.solve(method="dense")
+    um, _ = UMesh.from_grid(pf.Grid(n, n, BOX, pf.CellType.triangle))
+    su = _unstructured(um)
+    ru = su.solve(method="dense")
+    du = np.abs(np.asarray(rs.x["u"]) - np.asarray(ru.x["u"])).max()
+    scale = np.abs(np.asarray(rs.x["u"])).max()
+    assert du < 1e-9 * max(scale, 1.0), du
+
+    e = su.l2_h1_errors(su.u_h, u_mild)
+    es = ss.l2_h1_errors(ss.u_h, u_mild)
+    # independent error protocols (refined-space vs direct quadrature)
+    # agree on the discretization error
+    assert abs(e["l2"] - es["l2"]) < 0.3 * es["l2"], (e, es)
+
+
+def test_usolve_p2_matches_structured():
+    """Degree-2: edge-DoF numbering differs between backends (grid facet
+    families vs lexicographic); from_grid's facet_map aligns them."""
+    n = 8
+    ss = _structured(n, primal_degree=2, levelset_degree=2)
+    rs = ss.solve(method="dense")
+    g = pf.Grid(n, n, BOX, pf.CellType.triangle)
+    um, facet_map = UMesh.from_grid(g)
+    su = _unstructured(um, primal_degree=2, levelset_degree=2)
+    ru = su.solve(method="dense")
+
+    nV = um.num_vertices
+    us = np.asarray(rs.x["u"])
+    uu = np.asarray(ru.x["u"])
+    # vertex block is shared; edge block permutes by facet_map
+    assert np.abs(uu[:nV] - us[:nV]).max() < 1e-8
+    assert np.abs(uu[nV:] - us[nV:][facet_map]).max() < 1e-8
+
+
+# --------------------------------------------------- irregular-mesh solves
+def _perturbed_mesh(n, amp=0.25, seed=0):
+    """from_grid triangulation with interior vertices jiggled by
+    ``amp * h`` — a genuinely irregular mesh with the same topology."""
+    g = pf.Grid(n, n, BOX, pf.CellType.triangle)
+    um, _ = UMesh.from_grid(g)
+    verts = um.verts.copy()
+    h = 2.0 / n
+    rng = np.random.default_rng(seed)
+    interior = (
+        (np.abs(verts[:, 0] - BOX[0][0]) > 1e-12)
+        & (np.abs(verts[:, 0] - BOX[1][0]) > 1e-12)
+        & (np.abs(verts[:, 1] - BOX[0][1]) > 1e-12)
+        & (np.abs(verts[:, 1] - BOX[1][1]) > 1e-12)
+    )
+    verts[interior] += amp * h * (rng.random((interior.sum(), 2)) - 0.5)
+    return UMesh(verts, um.cells)
+
+
+def test_usolve_perturbed_convergence():
+    errs = {}
+    for n in (12, 24):
+        s = _unstructured(_perturbed_mesh(n))
+        res = s.solve(method="dense")
+        errs[n] = s.l2_h1_errors(s.u_h, u_mild)
+    rate_l2 = np.log2(errs[12]["l2"] / errs[24]["l2"])
+    rate_h1 = np.log2(errs[12]["h10"] / errs[24]["h10"])
+    assert errs[24]["l2"] < 0.08, errs
+    assert rate_l2 > 1.5, errs
+    assert rate_h1 > 0.7, errs
+
+
+def test_usolve_krylov_matches_dense():
+    s = _unstructured(_perturbed_mesh(12))
+    rd = s.solve(method="dense")
+    s2 = _unstructured(_perturbed_mesh(12))
+    rk = s2.solve(method="bicgstab", tol=1e-12)
+    assert rk.converged and rk.iterations > 0
+    d = np.abs(np.asarray(rd.x["u"]) - np.asarray(rk.x["u"])).max()
+    assert d < 1e-7, d
+
+
+def test_usolve_sub_mode_matches_bg():
+    mesh = _perturbed_mesh(12)
+    sb = _unstructured(mesh)
+    rb = sb.solve(method="dense")
+    ssub = WeakDirichletPoissonU(mesh, mode="sub")
+    ssub.setup(phi_circle, f_mild, u_D=u_mild)
+    ssub.assemble()
+    rs = ssub.solve(method="dense")
+    # active (Omega_h) DoFs agree — the ds(100) and submesh-exterior
+    # boundary measures are the same facet set
+    act = np.asarray(sb.cell_tags)
+    active_cells = np.where((act == 1) | (act == 2))[0]
+    vids = np.unique(mesh.cells[active_cells])
+    d = np.abs(np.asarray(rb.x["u"])[vids] - np.asarray(rs.x["u"])[vids]).max()
+    assert d < 1e-9, d
+
+
+# ------------------------------------------------------ reference disk mesh
+REF = "/root/reference/tests/tests_data"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+def test_usolve_on_reference_disk_mesh():
+    """End-to-end S1 solve on the reference's own unstructured golden mesh
+    (circle-in-disk configuration, ``tests/test_compute_meshtags.py:28-35``)."""
+    mesh = UMesh.from_xdmf(os.path.join(REF, "disk.xdmf"))
+
+    r2 = 0.125
+
+    def ls(x):
+        return x[..., 0] ** 2 + x[..., 1] ** 2 - r2
+
+    def uex(x):
+        return jnp.cos(x[..., 0]) * jnp.sin(x[..., 1])
+
+    def f(x):
+        return 2.0 * uex(x)
+
+    s = WeakDirichletPoissonU(mesh, mode="bg")
+    s.setup(ls, f, u_D=uex)
+    s.assemble()
+    res = s.solve(method="dense")
+    e = s.l2_h1_errors(s.u_h, uex)
+    # disk.xdmf is a coarse mesh (h ~ 0.1 at the small circle) — just
+    # require a clearly-discretized solution, not a rate
+    assert e["l2"] < 0.1 and e["h10"] < 0.5, e
+
+
+def test_ufunction_reassemble():
+    """Data-dependent batches rebuild after UFunction data changes (the
+    Operator.reassemble contract on the unstructured backend)."""
+    mesh = _perturbed_mesh(10)
+    s = _unstructured(mesh)
+    A0 = s.op.to_dense()
+    # scale the level set: penalty blocks change, stiffness doesn't
+    s.phi_h.data = 2.0 * s.phi_h.data
+    s.op.reassemble()
+    A1 = s.op.to_dense()
+    assert np.abs(A1 - A0).max() > 1e-8
+    s.phi_h.data = 0.5 * s.phi_h.data
+    s.op.reassemble()
+    A2 = s.op.to_dense()
+    assert np.abs(A2 - A0).max() < 1e-10 * np.abs(A0).max()
