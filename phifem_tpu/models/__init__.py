@@ -23,10 +23,18 @@ from .robin3 import RobinPoisson3
 from .strong_dirichlet3 import StrongDirichletPoisson3
 from .weak_dirichlet3 import WeakDirichletPoisson3
 from .interface_elasticity3 import InterfaceElasticity3
-from .unstructured import WeakDirichletPoissonU
+from .unstructured import (
+    NeumannPoissonU,
+    RobinPoissonU,
+    StrongDirichletPoissonU,
+    WeakDirichletPoissonU,
+)
 
 __all__ = [
     "WeakDirichletPoissonU",
+    "StrongDirichletPoissonU",
+    "NeumannPoissonU",
+    "RobinPoissonU",
     "WeakDirichletPoisson",
     "StrongDirichletPoisson",
     "NeumannPoisson",

@@ -41,6 +41,60 @@ def _div(field_eval):
     return jnp.trace(field_eval.grad)
 
 
+def s3_forms(pen, stab, primal_degree, vector_degree, levelset_degree,
+             phi_h, f_h, u_N, ds):
+    """The S3 Neumann mixed-flux term lists, shared by the structured
+    scheme and :class:`phifem_tpu.models.unstructured.NeumannPoissonU`."""
+    qdeg = 2 * (vector_degree + levelset_degree) + 2
+
+    def flux_factor(w, d, ctx):
+        phi = d["phi"]
+        return jnp.dot(w["y"].val, phi.grad) + w["p"].val * phi.val / ctx.h
+
+    def bulk(u, v, d, x, ctx):
+        return jnp.dot(u["u"].grad, v["u"].grad) + u["u"].val * v["u"].val
+
+    def boundary_flux(u, v, d, x, n, ctx):
+        return jnp.dot(u["y"].val, n) * v["u"].val
+
+    def penalty(u, v, d, x, ctx):
+        h = ctx.h
+        t1 = jnp.dot(u["y"].val + u["u"].grad, v["y"].val + v["u"].grad)
+        t2 = (_div(u["y"]) + u["u"].val) * (_div(v["y"]) + v["u"].val)
+        t3 = flux_factor(u, d, ctx) * flux_factor(v, d, ctx) / h**2
+        return pen * (t1 + t2 + t3)
+
+    def ghost(u0, u1, v0, v1, d0, d1, x, n, ctx):
+        ju = jnp.dot(u0["u"].grad - u1["u"].grad, n)
+        jv = jnp.dot(v0["u"].grad - v1["u"].grad, n)
+        return stab * ctx.h * ju * jv
+
+    def rhs_bulk(v, d, x, ctx):
+        return d["f"].val * v["u"].val
+
+    def rhs_pen(v, d, x, ctx):
+        h = ctx.h
+        ngphi = jnp.sqrt(jnp.dot(d["phi"].grad, d["phi"].grad))
+        t1 = -d["uN"].val * ngphi * flux_factor(v, d, ctx) / h**2
+        t2 = d["f"].val * (_div(v["y"]) + v["u"].val)
+        return pen * (t1 + t2)
+
+    cell_terms = [
+        (CellTerm(bulk, (1, 2), degree=2 * primal_degree, uniform=True), {}),
+        (CellTerm(penalty, (2,), degree=qdeg), {"phi": phi_h}),
+    ]
+    facet_terms = [(FacetTerm(ghost, region=(3,), npts=2), {})]
+    boundary_terms = [(BoundaryTerm(boundary_flux, ds, npts=3), {})]
+    rhs_cell_terms = [
+        (CellTerm(rhs_bulk, (1, 2), degree=qdeg), {"f": f_h}),
+        (
+            CellTerm(rhs_pen, (2,), degree=qdeg),
+            {"f": f_h, "uN": u_N, "phi": phi_h},
+        ),
+    ]
+    return cell_terms, facet_terms, boundary_terms, rhs_cell_terms
+
+
 @dataclasses.dataclass
 class NeumannPoisson(SchemeBase):
     primal_degree: int = 1
@@ -69,73 +123,35 @@ class NeumannPoisson(SchemeBase):
         self._setup_args = (levelset, f, u_N, detection_levelset)
         return self
 
-    def _flux_factor(self, w, d, ctx):
-        """z . grad phi + h^-1 q phi (the Neumann penalty flux factor)."""
-        phi = d["phi"]
-        return jnp.dot(w["y"].val, phi.grad) + w["p"].val * phi.val / ctx.h
-
     def assemble(self, rhs: bool = True):
         g = self.grid
-        pen, stab = self.pen_coef, self.stab_coef
-        qdeg = 2 * (self.vector_degree + self.levelset_degree) + 2
-
-        def bulk(u, v, d, x, ctx):
-            return jnp.dot(u["u"].grad, v["u"].grad) + u["u"].val * v["u"].val
-
-        def boundary_flux(u, v, d, x, n, ctx):
-            return jnp.dot(u["y"].val, n) * v["u"].val
-
-        def penalty(u, v, d, x, ctx):
-            h = ctx.h
-            t1 = jnp.dot(u["y"].val + u["u"].grad, v["y"].val + v["u"].grad)
-            t2 = (_div(u["y"]) + u["u"].val) * (_div(v["y"]) + v["u"].val)
-            t3 = self._flux_factor(u, d, ctx) * self._flux_factor(v, d, ctx) / h**2
-            return pen * (t1 + t2 + t3)
-
-        def ghost(u0, u1, v0, v1, d0, d1, x, n, ctx):
-            ju = jnp.dot(u0["u"].grad - u1["u"].grad, n)
-            jv = jnp.dot(v0["u"].grad - v1["u"].grad, n)
-            return stab * ctx.h * ju * jv
-
-        ds = self.boundary_measure()
-        data = {"phi": self.phi_h}
+        cell_terms, facet_terms, boundary_terms, rhs_cell_terms = s3_forms(
+            self.pen_coef,
+            self.stab_coef,
+            self.primal_degree,
+            self.vector_degree,
+            self.levelset_degree,
+            self.phi_h,
+            self.f_h,
+            self.u_N,
+            self.boundary_measure(),
+        )
         self.op = assemble_operator(
             self.system,
             g,
-            cell_terms=[
-                (CellTerm(bulk, (1, 2), degree=2 * self.primal_degree, uniform=True), {}),
-                (CellTerm(penalty, (2,), degree=qdeg), data),
-            ],
-            facet_terms=[(FacetTerm(ghost, region=(3,), npts=2), {})],
-            boundary_terms=[(BoundaryTerm(boundary_flux, ds, npts=3), {})],
+            cell_terms=cell_terms,
+            facet_terms=facet_terms,
+            boundary_terms=boundary_terms,
             cell_tags=self.cell_tags,
             facet_tags=self.facet_tags,
         )
-
-        def rhs_bulk(v, d, x, ctx):
-            return d["f"].val * v["u"].val
-
-        def rhs_pen(v, d, x, ctx):
-            h = ctx.h
-            ngphi = jnp.sqrt(jnp.dot(d["phi"].grad, d["phi"].grad))
-            t1 = -d["uN"].val * ngphi * self._flux_factor(v, d, ctx) / h**2
-            t2 = d["f"].val * (_div(v["y"]) + v["u"].val)
-            return pen * (t1 + t2)
-
         if not rhs:
             # operator-only path (multigrid coarse levels skip the RHS)
             return self
-
         self.b = assemble_vector(
             self.system,
             g,
-            cell_terms=[
-                (CellTerm(rhs_bulk, (1, 2), degree=qdeg), {"f": self.f_h}),
-                (
-                    CellTerm(rhs_pen, (2,), degree=qdeg),
-                    {"f": self.f_h, "uN": self.u_N, "phi": self.phi_h},
-                ),
-            ],
+            cell_terms=rhs_cell_terms,
             cell_tags=self.cell_tags,
         )
         return self

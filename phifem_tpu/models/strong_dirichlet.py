@@ -49,6 +49,58 @@ def _mul(phi: FieldEval, w: FieldEval):
     return val, grad, lap
 
 
+def s2_forms(stab, primal_degree, levelset_degree, phi_h, f_h, ds):
+    """The S2 strong-Dirichlet term lists, shared by the structured scheme
+    and :class:`phifem_tpu.models.unstructured.StrongDirichletPoissonU`."""
+    qdeg = 2 * (primal_degree + levelset_degree) + 2
+
+    def stiffness(u, v, d, x, ctx):
+        _, gu, _ = _mul(d["phi"], u["w"])
+        _, gv, _ = _mul(d["phi"], v["w"])
+        return jnp.dot(gu, gv)
+
+    def boundary_flux(u, v, d, x, n, ctx):
+        _, gu, _ = _mul(d["phi"], u["w"])
+        pv, _, _ = _mul(d["phi"], v["w"])
+        return -jnp.dot(gu, n) * pv
+
+    def cell_stab(u, v, d, x, ctx):
+        _, _, lu = _mul(d["phi"], u["w"])
+        _, _, lv = _mul(d["phi"], v["w"])
+        return stab * ctx.h**2 * lu * lv
+
+    def ghost(u0, u1, v0, v1, d0, d1, x, n, ctx):
+        _, gu0, _ = _mul(d0["phi"], u0["w"])
+        _, gu1, _ = _mul(d1["phi"], u1["w"])
+        _, gv0, _ = _mul(d0["phi"], v0["w"])
+        _, gv1, _ = _mul(d1["phi"], v1["w"])
+        ju = jnp.dot(gu0 - gu1, n)
+        jv = jnp.dot(gv0 - gv1, n)
+        return stab * ctx.h * ju * jv
+
+    def rhs_bulk(v, d, x, ctx):
+        pv, _, _ = _mul(d["phi"], v["w"])
+        return d["f"].val * pv
+
+    def rhs_stab(v, d, x, ctx):
+        _, _, lv = _mul(d["phi"], v["w"])
+        return -stab * ctx.h**2 * d["f"].val * lv
+
+    data = {"phi": phi_h}
+    rdata = {"phi": phi_h, "f": f_h}
+    cell_terms = [
+        (CellTerm(stiffness, (1, 2), degree=qdeg), data),
+        (CellTerm(cell_stab, (2,), degree=qdeg), data),
+    ]
+    facet_terms = [(FacetTerm(ghost, region=(2, 3), npts=3), data)]
+    boundary_terms = [(BoundaryTerm(boundary_flux, ds, npts=3), data)]
+    rhs_cell_terms = [
+        (CellTerm(rhs_bulk, (1, 2), degree=qdeg), rdata),
+        (CellTerm(rhs_stab, (2,), degree=qdeg), rdata),
+    ]
+    return cell_terms, facet_terms, boundary_terms, rhs_cell_terms
+
+
 @dataclasses.dataclass
 class StrongDirichletPoisson(SchemeBase):
     primal_degree: int = 1
@@ -74,68 +126,30 @@ class StrongDirichletPoisson(SchemeBase):
 
     def assemble(self, rhs: bool = True):
         g = self.grid
-        stab = self.stab_coef
-        qdeg = 2 * (self.primal_degree + self.levelset_degree) + 2
-
-        def stiffness(u, v, d, x, ctx):
-            _, gu, _ = _mul(d["phi"], u["w"])
-            _, gv, _ = _mul(d["phi"], v["w"])
-            return jnp.dot(gu, gv)
-
-        def boundary_flux(u, v, d, x, n, ctx):
-            _, gu, _ = _mul(d["phi"], u["w"])
-            pv, _, _ = _mul(d["phi"], v["w"])
-            return -jnp.dot(gu, n) * pv
-
-        def cell_stab(u, v, d, x, ctx):
-            _, _, lu = _mul(d["phi"], u["w"])
-            _, _, lv = _mul(d["phi"], v["w"])
-            return stab * ctx.h**2 * lu * lv
-
-        def ghost(u0, u1, v0, v1, d0, d1, x, n, ctx):
-            _, gu0, _ = _mul(d0["phi"], u0["w"])
-            _, gu1, _ = _mul(d1["phi"], u1["w"])
-            _, gv0, _ = _mul(d0["phi"], v0["w"])
-            _, gv1, _ = _mul(d1["phi"], v1["w"])
-            ju = jnp.dot(gu0 - gu1, n)
-            jv = jnp.dot(gv0 - gv1, n)
-            return stab * ctx.h * ju * jv
-
-        ds = self.boundary_measure()
-        data = {"phi": self.phi_h}
+        cell_terms, facet_terms, boundary_terms, rhs_cell_terms = s2_forms(
+            self.stab_coef,
+            self.primal_degree,
+            self.levelset_degree,
+            self.phi_h,
+            self.f_h,
+            self.boundary_measure(),
+        )
         self.op = assemble_operator(
             self.system,
             g,
-            cell_terms=[
-                (CellTerm(stiffness, (1, 2), degree=qdeg), data),
-                (CellTerm(cell_stab, (2,), degree=qdeg), data),
-            ],
-            facet_terms=[(FacetTerm(ghost, region=(2, 3), npts=3), data)],
-            boundary_terms=[(BoundaryTerm(boundary_flux, ds, npts=3), data)],
+            cell_terms=cell_terms,
+            facet_terms=facet_terms,
+            boundary_terms=boundary_terms,
             cell_tags=self.cell_tags,
             facet_tags=self.facet_tags,
         )
-
-        def rhs_bulk(v, d, x, ctx):
-            pv, _, _ = _mul(d["phi"], v["w"])
-            return d["f"].val * pv
-
-        def rhs_stab(v, d, x, ctx):
-            _, _, lv = _mul(d["phi"], v["w"])
-            return -stab * ctx.h**2 * d["f"].val * lv
-
-        rdata = {"phi": self.phi_h, "f": self.f_h}
         if not rhs:
             # operator-only path (multigrid coarse levels skip the RHS)
             return self
-
         self.b = assemble_vector(
             self.system,
             g,
-            cell_terms=[
-                (CellTerm(rhs_bulk, (1, 2), degree=qdeg), rdata),
-                (CellTerm(rhs_stab, (2,), degree=qdeg), rdata),
-            ],
+            cell_terms=rhs_cell_terms,
             cell_tags=self.cell_tags,
         )
         return self

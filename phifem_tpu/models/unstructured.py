@@ -194,3 +194,184 @@ class WeakDirichletPoissonU(USchemeBase):
         self.u_h = UFunction(self.V, res.x["u"])
         self.p_h = UFunction(self.V, res.x["p"])
         return res
+
+
+@dataclasses.dataclass
+class StrongDirichletPoissonU(USchemeBase):
+    """S2 strong-Dirichlet (u = phi w) on an imported mesh (reference
+    ``demo/strong-dirichlet/flower/main.py:92-131``)."""
+
+    primal_degree: int = 1
+    levelset_degree: int = 1
+
+    def setup(
+        self,
+        levelset: Callable,
+        f: Union[Callable, UFunction],
+        detection_levelset: Optional[Callable] = None,
+    ):
+        self.tag(detection_levelset if detection_levelset is not None else levelset)
+        V = USpace.lagrange(self.mesh, self.primal_degree)
+        Vphi = USpace.lagrange(self.mesh, self.levelset_degree)
+        self.V, self.Vphi = V, Vphi
+        self.system = System({"w": V})
+        self.phi_h = levelset if isinstance(levelset, UFunction) else interpolate(levelset, Vphi)
+        self.f_h = f if isinstance(f, UFunction) else interpolate(f, V)
+        self._levelset = levelset
+        self._setup_args = (levelset, f, detection_levelset)
+        return self
+
+    def assemble(self, rhs: bool = True):
+        from .strong_dirichlet import s2_forms
+
+        cell_terms, facet_terms, boundary_terms, rhs_cell_terms = s2_forms(
+            self.stab_coef,
+            self.primal_degree,
+            self.levelset_degree,
+            self.phi_h,
+            self.f_h,
+            self.boundary_measure(),
+        )
+        self.op = assemble_operator(
+            self.system,
+            self.mesh,
+            cell_terms=cell_terms,
+            facet_terms=facet_terms,
+            boundary_terms=boundary_terms,
+            cell_tags=self.cell_tags,
+            facet_tags=self.facet_tags,
+        )
+        if not rhs:
+            return self
+        self.b = assemble_vector(
+            self.system,
+            self.mesh,
+            cell_terms=rhs_cell_terms,
+            cell_tags=self.cell_tags,
+        )
+        return self
+
+    def solve(self, method: str = "bicgstab", tol: float = 1e-10, **kw) -> SolveResult:
+        res = super().solve(method=method, tol=tol, **kw)
+        self.w_h = UFunction(self.V, res.x["w"])
+        # nodal product u = w * phi in the primal space (reference
+        # demo/strong-dirichlet/flower/main.py:159-165); phi re-interpolated
+        # into V when the level-set space differs
+        phi_V = (
+            self.phi_h
+            if self.phi_h.space.degree == self.V.degree
+            else interpolate(self._levelset, self.V)
+        )
+        self.u_h = UFunction(self.V, self.w_h.data * phi_V.data)
+        return res
+
+
+@dataclasses.dataclass
+class NeumannPoissonU(USchemeBase):
+    """S3 Neumann mixed-flux scheme on an imported mesh (reference
+    ``demo/neumann/square/main.py:112-158``)."""
+
+    primal_degree: int = 1
+    vector_degree: int = 1
+    levelset_degree: int = 2
+
+    def setup(
+        self,
+        levelset: Callable,
+        f: Union[Callable, UFunction],
+        u_N: Union[Callable, UFunction],
+        detection_levelset: Optional[Callable] = None,
+    ):
+        self.tag(detection_levelset if detection_levelset is not None else levelset)
+        V = USpace.lagrange(self.mesh, self.primal_degree)
+        Y = USpace.lagrange(self.mesh, self.vector_degree, (2,))
+        Q = USpace.dg0(self.mesh)
+        Vphi = USpace.lagrange(self.mesh, self.levelset_degree)
+        self.V, self.Y, self.Q, self.Vphi = V, Y, Q, Vphi
+        self.system = System({"u": V, "y": Y, "p": Q})
+        self.phi_h = levelset if isinstance(levelset, UFunction) else interpolate(levelset, Vphi)
+        self.f_h = f if isinstance(f, UFunction) else interpolate(f, V)
+        self.u_N = u_N if isinstance(u_N, UFunction) else interpolate(u_N, V)
+        self._setup_args = (levelset, f, u_N, detection_levelset)
+        return self
+
+    def assemble(self, rhs: bool = True):
+        from .neumann import s3_forms
+
+        cell_terms, facet_terms, boundary_terms, rhs_cell_terms = s3_forms(
+            self.pen_coef,
+            self.stab_coef,
+            self.primal_degree,
+            self.vector_degree,
+            self.levelset_degree,
+            self.phi_h,
+            self.f_h,
+            self.u_N,
+            self.boundary_measure(),
+        )
+        self.op = assemble_operator(
+            self.system,
+            self.mesh,
+            cell_terms=cell_terms,
+            facet_terms=facet_terms,
+            boundary_terms=boundary_terms,
+            cell_tags=self.cell_tags,
+            facet_tags=self.facet_tags,
+        )
+        if not rhs:
+            return self
+        self.b = assemble_vector(
+            self.system,
+            self.mesh,
+            cell_terms=rhs_cell_terms,
+            cell_tags=self.cell_tags,
+        )
+        return self
+
+    def solve(self, method: str = "bicgstab", tol: float = 1e-10, **kw) -> SolveResult:
+        res = super().solve(method=method, tol=tol, **kw)
+        self.u_h = UFunction(self.V, res.x["u"])
+        self.y_h = UFunction(self.Y, res.x["y"])
+        return res
+
+
+@dataclasses.dataclass
+class RobinPoissonU(NeumannPoissonU):
+    """S4 Robin mixed-flux scheme on an imported mesh (reference
+    ``demo/robin/square/main.py:119-174``)."""
+
+    robin_coef: float = 1.0
+
+    def assemble(self, rhs: bool = True):
+        from .robin import s4_forms
+
+        cell_terms, facet_terms, boundary_terms, rhs_cell_terms = s4_forms(
+            self.pen_coef,
+            self.stab_coef,
+            self.robin_coef,
+            self.primal_degree,
+            self.vector_degree,
+            self.levelset_degree,
+            self.phi_h,
+            self.f_h,
+            self.u_N,
+            self.boundary_measure(),
+        )
+        self.op = assemble_operator(
+            self.system,
+            self.mesh,
+            cell_terms=cell_terms,
+            facet_terms=facet_terms,
+            boundary_terms=boundary_terms,
+            cell_tags=self.cell_tags,
+            facet_tags=self.facet_tags,
+        )
+        if not rhs:
+            return self
+        self.b = assemble_vector(
+            self.system,
+            self.mesh,
+            cell_terms=rhs_cell_terms,
+            cell_tags=self.cell_tags,
+        )
+        return self

@@ -100,6 +100,14 @@ class USpace:
             )
         return USpace(mesh, lagrange_element("triangle", degree), value_shape)
 
+    @staticmethod
+    def dg0(mesh: UMesh, value_shape: Tuple[int, ...] = ()) -> "USpace":
+        from .elements import dg0_element
+
+        if not mesh.is_simplex:
+            raise NotImplementedError("unstructured solve path is simplex-only")
+        return USpace(mesh, dg0_element("triangle"), value_shape)
+
     @property
     def degree(self) -> int:
         return self.element.degree
@@ -115,6 +123,8 @@ class USpace:
     @property
     def num_scalar_dofs(self) -> int:
         m, k = self.mesh, self.degree
+        if self.element.family == "DG":
+            return m.num_cells
         n = m.num_vertices
         if k > 1:
             n += m.num_facets * (k - 1)
@@ -136,6 +146,8 @@ class USpace:
         numbered along the GLOBAL facet direction (ascending vertex id —
         the ``UMesh.facets`` sort), so neighbouring cells agree."""
         m, k = self.mesh, self.degree
+        if self.element.family == "DG":
+            return np.arange(m.num_cells, dtype=np.int32)[:, None]
         kind, entity, param = classify_nodes(self.element)
         nV = m.num_vertices
         edge_base = nV
@@ -173,6 +185,8 @@ class USpace:
         """(num_scalar_dofs, 2) physical DoF coordinates (vertices, then
         per-facet edge nodes in global direction, then cell-interior)."""
         m, k = self.mesh, self.degree
+        if self.element.family == "DG":
+            return m.cell_centroids
         coords = [m.verts]
         if k > 1:
             ends = m.facet_endpoints  # (nf, 2, 2), ascending vertex id

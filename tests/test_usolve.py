@@ -20,7 +20,16 @@ import numpy as np
 import pytest
 
 import phifem_tpu as pf
-from phifem_tpu.models import WeakDirichletPoisson, WeakDirichletPoissonU
+from phifem_tpu.models import (
+    NeumannPoisson,
+    NeumannPoissonU,
+    RobinPoisson,
+    RobinPoissonU,
+    StrongDirichletPoisson,
+    StrongDirichletPoissonU,
+    WeakDirichletPoisson,
+    WeakDirichletPoissonU,
+)
 from phifem_tpu.uassembly import USpace, UFunction
 from phifem_tpu.uassembly import interpolate as uinterp
 from phifem_tpu.umesh import UMesh
@@ -112,6 +121,87 @@ def test_usolve_p2_matches_structured():
     # vertex block is shared; edge block permutes by facet_map
     assert np.abs(uu[:nV] - us[:nV]).max() < 1e-8
     assert np.abs(uu[nV:] - us[nV:][facet_map]).max() < 1e-8
+
+
+def _dense_equal(op_s, op_u, b_s=None, b_u=None, tol=1e-10):
+    A_s, A_u = op_s.to_dense(), op_u.to_dense()
+    scale = np.abs(A_s).max()
+    assert np.abs(A_s - A_u).max() < tol * scale, np.abs(A_s - A_u).max()
+    if b_s is not None:
+        for name in b_s:
+            bs, bu = np.asarray(b_s[name]), np.asarray(b_u[name])
+            bscale = max(np.abs(bs).max(), 1e-300)
+            assert np.abs(bs - bu).max() < tol * bscale, name
+
+
+def u_nderiv(x):
+    """du/dn with n = grad(phi)/|grad(phi)| for the circle level set."""
+    g = jax.vmap(jax.grad(lambda p: u_mild(p)))(x)
+    gp = 2.0 * x
+    norm = jnp.maximum(jnp.linalg.norm(gp, axis=-1), 1e-12)
+    return jnp.sum(g * gp, axis=-1) / norm
+
+
+def f_helmholtz(x):
+    return 2.0 * u_mild(x) + u_mild(x)
+
+
+def test_us2_matches_structured_dense():
+    n = 8
+    g = pf.Grid(n, n, BOX, pf.CellType.triangle)
+    ss = StrongDirichletPoisson(g, mode="bg")
+    ss.setup(phi_circle, f_mild)
+    ss.assemble()
+    um, _ = UMesh.from_grid(g)
+    su = StrongDirichletPoissonU(um, mode="bg")
+    su.setup(phi_circle, f_mild)
+    su.assemble()
+    _dense_equal(ss.op, su.op, ss.b, su.b)
+    rs, ru = ss.solve(method="dense"), su.solve(method="dense")
+    d = np.abs(np.asarray(rs.x["w"]) - np.asarray(ru.x["w"])).max()
+    assert d < 1e-9, d
+    assert (
+        np.abs(np.asarray(ss.u_h.data) - np.asarray(su.u_h.data)).max() < 1e-9
+    )
+
+
+def test_us3_matches_structured_dense():
+    """Mixed S3 system (scalar + vector + DG0 fields) assembles identically
+    on the two backends."""
+    n = 8
+    g = pf.Grid(n, n, BOX, pf.CellType.triangle)
+    ss = NeumannPoisson(g, mode="bg")
+    ss.setup(phi_circle, f_helmholtz, u_nderiv)
+    ss.assemble()
+    um, _ = UMesh.from_grid(g)
+    su = NeumannPoissonU(um, mode="bg")
+    su.setup(phi_circle, f_helmholtz, u_nderiv)
+    su.assemble()
+    _dense_equal(ss.op, su.op, ss.b, su.b)
+
+
+def test_us4_matches_structured_dense():
+    n = 8
+    g = pf.Grid(n, n, BOX, pf.CellType.triangle)
+    ss = RobinPoisson(g, mode="bg", robin_coef=1.0)
+    ss.setup(phi_circle, f_helmholtz, u_nderiv)
+    ss.assemble()
+    um, _ = UMesh.from_grid(g)
+    su = RobinPoissonU(um, mode="bg", robin_coef=1.0)
+    su.setup(phi_circle, f_helmholtz, u_nderiv)
+    su.assemble()
+    _dense_equal(ss.op, su.op, ss.b, su.b)
+
+
+def test_us3_perturbed_solve():
+    """S3 on a genuinely irregular mesh: solves and resolves the analytic
+    solution at discretization accuracy."""
+    s = NeumannPoissonU(_perturbed_mesh(16), mode="bg")
+    s.setup(phi_circle, f_helmholtz, u_nderiv)
+    s.assemble()
+    res = s.solve(method="dense")
+    e = s.l2_h1_errors(s.u_h, u_mild, region=(1,))
+    assert e["l2"] < 0.05 and e["h10"] < 0.3, e
 
 
 # --------------------------------------------------- irregular-mesh solves
