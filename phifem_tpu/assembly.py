@@ -944,6 +944,79 @@ def assemble_operator(
     return Operator(system, batches)
 
 
+def _try_stencil_rhs(system, grid, term, data, cell_tags, b):
+    """Vertex-stencil fast path for a LINEAR cell term that is
+    geometry-uniform (``term.uniform``) and linear in a single P1 data
+    field: the assembled vector is then ``b += B_o @ f_loc`` summed over
+    region cells — a per-orientation stencil applied to the data field's
+    nodal lattice (:class:`~phifem_tpu.ops.stencil.StencilCellBatch`
+    masked matvec), with NO per-cell tables.
+
+    The generic path gathers ``(ncells_region, nloc)`` data/DoF tables; on
+    TPU the minor nloc~3 dimension tiles to 128 (42x padding), which OOMs
+    HBM at the 10M-cell scale (measured: 5.6 GB per gather half at
+    n=3200, BENCH round 3).  Linearity is VERIFIED numerically at the
+    representative orientation cells — any mismatch falls back to the
+    generic path, so a mis-flagged nonlinear term cannot assemble wrong.
+
+    Returns the updated vector dict, or None when ineligible."""
+    from .ops.stencil import StencilCellBatch
+
+    fn_data = {k: v for k, v in data.items() if isinstance(v, Function)}
+    call_data = {k: v for k, v in data.items() if not isinstance(v, Function)}
+    if len(fn_data) != 1 or call_data:
+        return None
+    ((dk, f),) = fn_data.items()
+    fs = f.space
+    if fs.value_shape or fs.degree != 1 or fs.element.family != "Lagrange":
+        return None
+    local, cell_data, ntot, layout, _ = _cell_local_fn(system, term, grid, data)
+    norient = 2 if grid.is_simplex else 1
+    rep = jnp.arange(norient, dtype=jnp.int32)
+    cd = cell_data(rep)
+    zeros_v = jnp.zeros(ntot, _float_dtype())
+    ft = _float_dtype()
+
+    def one(cd_o):
+        def wrt_f(dvals):
+            c2 = dict(cd_o)
+            c2["d_" + dk] = dvals
+            return jax.grad(lambda v: local(None, v, c2))(zeros_v)
+
+        return jax.jacfwd(wrt_f)(jnp.zeros(fs.nloc, ft))  # (ntot, nloc_f)
+
+    M = np.asarray(jax.jit(jax.vmap(one))(cd))
+    # verify exact linearity in the data field on the representative cells
+    # (their cd carries the real nodal data)
+    exact = np.asarray(
+        jax.jit(
+            jax.vmap(lambda c: jax.grad(lambda v: local(None, v, c))(zeros_v))
+        )(cd)
+    )
+    lin = np.einsum("oif,of->oi", M, np.asarray(cd["d_" + dk]))
+    scale = np.abs(exact).max() + np.abs(lin).max() + 1e-300
+    if np.abs(exact - lin).max() > 1e-12 * scale:
+        return None
+
+    nz = np.abs(M).sum(axis=(0, 2))  # per-row usage
+    fields_used, cur = [], 0
+    for name, nloc, vs, ln in layout:
+        if nz[cur : cur + ln].any():
+            fields_used.append((name, vs, cur, ln))
+        cur += ln
+    if not fields_used:
+        return b  # term contributes nothing (e.g. P1 test-Laplacian term)
+    if len(fields_used) != 1:
+        return None
+    name, vs, cur, ln = fields_used[0]
+    sp = system.fields[name]
+    if vs or sp.degree != 1 or sp.element.family != "Lagrange":
+        return None
+    B = jnp.asarray(M[:, cur : cur + ln, :], ft)  # (norient, nloc_v, nloc_f)
+    sb = StencilCellBatch.build(grid, name, B, cell_tags, term.region)
+    return sb.matvec_into({name: f.data}, b)
+
+
 def assemble_vector(
     system: System,
     grid: Grid,
@@ -962,6 +1035,11 @@ def assemble_vector(
 
     for term, data in cell_terms:
         data = _normalize_data(data)
+        if term.uniform:
+            nb = _try_stencil_rhs(system, grid, term, data, cell_tags, b)
+            if nb is not None:
+                b = nb
+                continue
         local, cell_data, ntot, layout, fn_data = _cell_local_fn(system, term, grid, data)
         cells = _region_cells(grid, cell_tags, term.region)
         cells_j = jnp.asarray(cells)

@@ -45,6 +45,7 @@ __all__ = [
     "detection_points",
     "evaluate_on_cells",
     "sign_flags",
+    "sign_flags_on_cells",
 ]
 
 
@@ -194,6 +195,53 @@ def detection_vector(
 def sign_flags(values: Array) -> Tuple[Array, Array]:
     """(has_pos, has_neg) along the last axis."""
     return jnp.any(values > 0.0, axis=-1), jnp.any(values < 0.0, axis=-1)
+
+
+# (ncells, npts) detection layouts pad the npts minor dim 128x on TPU;
+# below this cell count the padded pair stays ~2 GB and the historical
+# batched arithmetic (bit-pinned by parity tests) is kept
+_BATCHED_CELL_LIMIT = 2**21
+
+
+def sign_flags_on_cells(
+    grid: Grid, levelset: LevelSet, ref_pts: np.ndarray, cells: Array | None = None
+) -> Tuple[Array, Array]:
+    """OR-reduced detection sign flags, accumulated POINT BY POINT.
+
+    Below ``_BATCHED_CELL_LIMIT`` cells this IS
+    ``sign_flags(evaluate_on_cells(...))`` — the layout every parity test
+    and golden CSV was pinned against (XLA's FMA contraction differs
+    between program shapes, and knife-edge detection points — phi
+    mathematically 0 — flip with it, so the small-grid arithmetic must
+    stay byte-identical).  Above the limit the flags are accumulated ONE
+    DETECTION POINT AT A TIME with 1-D buffers: TPU tiles the minor
+    dimension to 128, so the has_pos/has_neg pair fused at ``(ncells,
+    npts~3)`` pads 42x — at n=3200 (20.48M cells) that is a 21 GB
+    ``f32[2,20480000,3]`` HBM allocation and the tag-kernel compile OOMs
+    (seen in BENCH round 3).  Large grids have no bit-parity oracle
+    (the reference cannot run at that scale), so the contraction
+    difference is immaterial there."""
+    if cells is None:
+        cells = jnp.arange(grid.num_cells, dtype=jnp.int32)
+    ref_pts = np.asarray(ref_pts)
+    npts = ref_pts.shape[0]
+    if grid.num_cells <= _BATCHED_CELL_LIMIT:
+        return sign_flags(evaluate_on_cells(grid, levelset, ref_pts, cells))
+    discrete = isinstance(levelset, Function)
+    if discrete:
+        tab = np.asarray(levelset.space.element.tabulate(ref_pts))  # (npts, nloc)
+        nodal = levelset.data[levelset.space.cell_dofs[cells]]  # (nc, nloc)
+    has_pos = has_neg = None
+    for k in range(npts):
+        if discrete:
+            vk = nodal @ jnp.asarray(tab[k])
+        else:
+            phys = grid.map_to_physical(cells, jnp.asarray(ref_pts[k : k + 1]))
+            vk = levelset(phys.reshape(-1, 2))
+        pk, nk = vk > 0.0, vk < 0.0
+        has_pos = pk if has_pos is None else jnp.logical_or(has_pos, pk)
+        has_neg = nk if has_neg is None else jnp.logical_or(has_neg, nk)
+    return has_pos, has_neg
 
 
 def classify(has_pos: Array, has_neg: Array) -> Array:

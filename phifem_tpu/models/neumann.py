@@ -86,7 +86,7 @@ def s3_forms(pen, stab, primal_degree, vector_degree, levelset_degree,
     facet_terms = [(FacetTerm(ghost, region=(3,), npts=2), {})]
     boundary_terms = [(BoundaryTerm(boundary_flux, ds, npts=3), {})]
     rhs_cell_terms = [
-        (CellTerm(rhs_bulk, (1, 2), degree=qdeg), {"f": f_h}),
+        (CellTerm(rhs_bulk, (1, 2), degree=qdeg, uniform=True), {"f": f_h}),
         (
             CellTerm(rhs_pen, (2,), degree=qdeg),
             {"f": f_h, "uN": u_N, "phi": phi_h},

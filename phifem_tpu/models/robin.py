@@ -80,7 +80,7 @@ def s4_forms(pen, stab, robin_coef, primal_degree, vector_degree,
     facet_terms = [(FacetTerm(ghost, region=(2,), npts=2), {})]
     boundary_terms = [(BoundaryTerm(boundary_flux, ds, npts=3), {})]
     rhs_cell_terms = [
-        (CellTerm(rhs_bulk, (1, 2), degree=qdeg), {"f": f_h}),
+        (CellTerm(rhs_bulk, (1, 2), degree=qdeg, uniform=True), {"f": f_h}),
         (
             CellTerm(rhs_pen, (2,), degree=qdeg),
             {"f": f_h, "uR": u_R, "phi": phi_h},

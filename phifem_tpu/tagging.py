@@ -103,8 +103,9 @@ def tag_cells(
     the pipeline forces to *cut* and the reference reports with a
     ``RuntimeWarning`` (``mesh_scripts.py:121-133``)."""
     pts = lsmod.detection_points(grid.cell_type, detection_degree)
-    vals = lsmod.evaluate_on_cells(grid, levelset, pts)  # (nc, npts)
-    has_pos, has_neg = lsmod.sign_flags(vals)
+    # per-point accumulation — (ncells, npts) layouts OOM on TPU at the
+    # 20M-cell scale (see sign_flags_on_cells)
+    has_pos, has_neg = lsmod.sign_flags_on_cells(grid, levelset, pts)
     tags = lsmod.classify(has_pos, has_neg)
     n_degenerate = (
         jnp.sum(jnp.logical_and(jnp.logical_not(has_pos), jnp.logical_not(has_neg)))

@@ -157,3 +157,58 @@ def test_cg_matches_dense():
     e_cg = _poisson_error("triangle", 6, "cg")
     e_dense = _poisson_error("triangle", 6, "dense")
     assert np.isclose(e_cg, e_dense, rtol=1e-6)
+
+
+def test_stencil_rhs_matches_generic():
+    """The data-linear vertex-stencil RHS path (assembly._try_stencil_rhs)
+    must reproduce the generic gathered assembly exactly — same local
+    matrices, different evaluation order (regression for the TPU
+    minor-dim-padding OOM fix at n=3200-class grids)."""
+    import phifem_tpu as pf
+    from phifem_tpu.assembly import CellTerm, System, assemble_vector
+    from phifem_tpu.spaces import Space, interpolate
+
+    for ct in (pf.CellType.triangle, pf.CellType.quadrilateral):
+        g = pf.Grid(9, 7, ((-1.0, -1.0), (1.0, 1.0)), ct)
+        V = Space.lagrange(g, 1)
+        system = System({"u": V, "p": V})
+        f_h = interpolate(lambda x: jnp.sin(x[..., 0]) + x[..., 1] ** 2, V)
+        tags = np.zeros(g.num_cells, np.int8)
+        tags[: g.num_cells // 2] = 1
+        tags[g.num_cells // 2 :] = 2
+
+        def rhs_bulk(v, d, x, ctx):
+            return d["f"].val * v["u"].val
+
+        b_sten = assemble_vector(
+            system, g,
+            cell_terms=[(CellTerm(rhs_bulk, (1,), degree=3, uniform=True), {"f": f_h})],
+            cell_tags=tags,
+        )
+        b_gen = assemble_vector(
+            system, g,
+            cell_terms=[(CellTerm(rhs_bulk, (1,), degree=3), {"f": f_h})],
+            cell_tags=tags,
+        )
+        du = np.abs(np.asarray(b_sten["u"]) - np.asarray(b_gen["u"])).max()
+        scale = np.abs(np.asarray(b_gen["u"])).max()
+        assert du < 1e-13 * scale, (ct, du)
+        assert np.asarray(b_sten["p"]).max() == 0.0
+
+        # a NONLINEAR-in-data term mis-flagged uniform must fall back to
+        # the generic path (linearity verification), not assemble wrong
+        def rhs_sq(v, d, x, ctx):
+            return d["f"].val ** 2 * v["u"].val
+
+        b_s = assemble_vector(
+            system, g,
+            cell_terms=[(CellTerm(rhs_sq, (1,), degree=3, uniform=True), {"f": f_h})],
+            cell_tags=tags,
+        )
+        b_g = assemble_vector(
+            system, g,
+            cell_terms=[(CellTerm(rhs_sq, (1,), degree=3), {"f": f_h})],
+            cell_tags=tags,
+        )
+        dsq = np.abs(np.asarray(b_s["u"]) - np.asarray(b_g["u"])).max()
+        assert dsq < 1e-13 * np.abs(np.asarray(b_g["u"])).max(), (ct, dsq)
