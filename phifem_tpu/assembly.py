@@ -258,20 +258,35 @@ def _cell_local_fn(system: System, term: CellTerm, grid: Grid, data: Dict):
     wq_j = jnp.asarray(wq, _float_dtype())
     detJ_j = jnp.asarray(detJ, _float_dtype())
 
-    def cell_data(cells: Array, arrays: Optional[Dict] = None) -> Dict:
-        cd = {
+    def cell_static(cells: Array) -> Dict:
+        """Data-INDEPENDENT per-cell tables: orientation, physical quad
+        coords, gathered DoF indices and callable-data values.  Hoisted out
+        of the jitted rebuild cores and evaluated eagerly at batch
+        construction: staged under jit (omnistaging), these gathers bake
+        the FULL (ncells, nloc) dof map / facet coordinate tables into the
+        HLO as literals — ~1.3 GB at n=3200, which the remote compile
+        service rejects (HTTP 413)."""
+        st = {
             "orient": grid.orientation_of(cells),
             "x": grid.map_to_physical(cells, ref_pts),
         }
         for k, f in fn_data.items():
-            dat = arrays[k] if arrays is not None else f.data
-            cd["d_" + k] = dat[f.space.cell_dofs[cells]]
+            st["dofs_" + k] = f.space.cell_dofs[cells]
         for k, f in call_data.items():
-            vals = f(cd["x"].reshape(-1, 2))
-            cd["c_" + k] = jnp.reshape(
-                vals, cd["x"].shape[:2] + vals.shape[1:]
-            )
+            vals = f(st["x"].reshape(-1, 2))
+            st["c_" + k] = jnp.reshape(vals, st["x"].shape[:2] + vals.shape[1:])
+        return st
+
+    def cell_data(cells: Array, arrays: Optional[Dict] = None,
+                  static: Optional[Dict] = None) -> Dict:
+        st = cell_static(cells) if static is None else static
+        cd = {k: v for k, v in st.items() if not k.startswith("dofs_")}
+        for k, f in fn_data.items():
+            dat = arrays[k] if arrays is not None else f.data
+            cd["d_" + k] = dat[st["dofs_" + k]]
         return cd
+
+    cell_data.static = cell_static
 
     def local(uflat, vflat, cd):
         o = cd["orient"]
@@ -324,27 +339,43 @@ def _facet_local_fn(system: System, term, grid: Grid, data: Dict, one_sided: boo
     wq_j = jnp.asarray(wq, _float_dtype())
     tq_j = jnp.asarray(tq, _float_dtype())
 
-    def facet_data(facets: Array, cells_sides, locals_sides, normals,
-                   arrays: Optional[Dict] = None) -> Dict:
+    def facet_static(facets: Array, cells_sides, locals_sides, normals) -> Dict:
+        """Data-independent per-facet tables — see ``cell_static`` for why
+        these are hoisted out of the jitted rebuild cores (full-grid
+        ``facet_endpoints``/``facet_lengths``/dof-map literals in the HLO
+        otherwise)."""
         ends = grid.facet_endpoints[facets]  # (ne, 2, 2)
         x = ends[:, None, 0, :] * (1 - tq_j)[None, :, None] + ends[
             :, None, 1, :
         ] * tq_j[None, :, None]
-        cd = {
+        st = {
             "x": x,
             "n": normals,
             "len": grid.facet_lengths[facets],
         }
         for s, (cells, locs) in enumerate(zip(cells_sides, locals_sides)):
-            cd[f"orient{s}"] = grid.orientation_of(cells)
-            cd[f"lf{s}"] = locs
+            st[f"orient{s}"] = grid.orientation_of(cells)
+            st[f"lf{s}"] = locs
             for k, f in fn_data.items():
-                dat = arrays[k] if arrays is not None else f.data
-                cd[f"d{s}_" + k] = dat[f.space.cell_dofs[cells]]
+                st[f"dofs{s}_" + k] = f.space.cell_dofs[cells]
         for k, f in call_data.items():
             vals = f(x.reshape(-1, 2))
-            cd["c_" + k] = jnp.reshape(vals, x.shape[:2] + vals.shape[1:])
+            st["c_" + k] = jnp.reshape(vals, x.shape[:2] + vals.shape[1:])
+        return st
+
+    def facet_data(facets: Array = None, cells_sides=None, locals_sides=None,
+                   normals=None, arrays: Optional[Dict] = None,
+                   static: Optional[Dict] = None) -> Dict:
+        st = (facet_static(facets, cells_sides, locals_sides, normals)
+              if static is None else static)
+        cd = {k: v for k, v in st.items() if not k.startswith("dofs")}
+        for s in range(1 if one_sided else 2):
+            for k, f in fn_data.items():
+                dat = arrays[k] if arrays is not None else f.data
+                cd[f"d{s}_" + k] = dat[st[f"dofs{s}_" + k]]
         return cd
+
+    facet_data.static = facet_static
 
     def local(uflat, vflat, cd):
         has_u = uflat is not None
@@ -849,14 +880,17 @@ def assemble_operator(
             cells = _region_cells(grid, cell_tags, term.region)
             cells_j = jnp.asarray(cells)
             fn = jax.jit(jax.vmap(lambda c: mat_fn(zeros, zeros, c)))
-            mats = fn(cell_data(cells_j))
+            # eager: per-batch static tables only (not the full-grid maps)
+            # land in the rebuild core's closure / HLO
+            st = cell_data.static(cells_j)
+            mats = fn(cell_data(cells_j, static=st))
             segs, mats, keep = _prune_batch(_segments_for_cells(system, cells_j), mats)
             if segs:
                 core = jax.jit(
-                    lambda arrays, _cd=cell_data, _c=cells_j, _f=fn, _k=keep: (
-                        _f(_cd(_c, arrays))
+                    lambda arrays, _cd=cell_data, _st=st, _f=fn, _k=keep: (
+                        _f(_cd(None, arrays, static=_st))
                         if _k is None
-                        else _f(_cd(_c, arrays))[:, _k][:, :, _k]
+                        else _f(_cd(None, arrays, static=_st))[:, _k][:, :, _k]
                     )
                 )
 
@@ -885,7 +919,8 @@ def assemble_operator(
         local, facet_data, ntot, layout, fn_data = _facet_local_fn(
             system, term, grid, data, one_sided=False
         )
-        cd = facet_data(facets_j, (c0, c1), (k0, k1), normals)
+        st = facet_data.static(facets_j, (c0, c1), (k0, k1), normals)
+        cd = facet_data(static=st)
         zeros = jnp.zeros(ntot, _float_dtype())
         mat_fn = jax.jacfwd(jax.grad(local, argnums=1), argnums=0)
         fn = jax.jit(jax.vmap(lambda c: mat_fn(zeros, zeros, c)))
@@ -900,10 +935,10 @@ def assemble_operator(
         segs, mats, keep = _prune_batch(segs, mats)
         if segs:
             core = jax.jit(
-                lambda arrays, _fd=facet_data, _f=fn, _k=keep, _a=(facets_j, (c0, c1), (k0, k1), normals): (
-                    _f(_fd(*_a, arrays=arrays))
+                lambda arrays, _fd=facet_data, _st=st, _f=fn, _k=keep: (
+                    _f(_fd(arrays=arrays, static=_st))
                     if _k is None
-                    else _f(_fd(*_a, arrays=arrays))[:, _k][:, :, _k]
+                    else _f(_fd(arrays=arrays, static=_st))[:, _k][:, :, _k]
                 )
             )
 
@@ -920,7 +955,8 @@ def assemble_operator(
             system, term, grid, data, one_sided=True
         )
         normals = fl.normals
-        cd = facet_data(fl.facets, (fl.cells,), (fl.local_facets,), normals)
+        st = facet_data.static(fl.facets, (fl.cells,), (fl.local_facets,), normals)
+        cd = facet_data(static=st)
         zeros = jnp.zeros(ntot, _float_dtype())
         mat_fn = jax.jacfwd(jax.grad(local, argnums=1), argnums=0)
         fn = jax.jit(jax.vmap(lambda c: mat_fn(zeros, zeros, c)))
@@ -928,10 +964,10 @@ def assemble_operator(
         segs, mats, keep = _prune_batch(_segments_for_cells(system, fl.cells), mats)
         if segs:
             core = jax.jit(
-                lambda arrays, _fd=facet_data, _f=fn, _k=keep, _a=(fl.facets, (fl.cells,), (fl.local_facets,), fl.normals): (
-                    _f(_fd(*_a, arrays=arrays))
+                lambda arrays, _fd=facet_data, _st=st, _f=fn, _k=keep: (
+                    _f(_fd(arrays=arrays, static=_st))
                     if _k is None
-                    else _f(_fd(*_a, arrays=arrays))[:, _k][:, :, _k]
+                    else _f(_fd(arrays=arrays, static=_st))[:, _k][:, :, _k]
                 )
             )
 

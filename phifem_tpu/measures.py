@@ -16,7 +16,7 @@ kernels that consume them are static-shape jitted gathers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -133,12 +133,25 @@ def one_sided_facets_multi(
 class BoundaryMeasure:
     """Callable container mapping subdomain ids to one-sided facet sets —
     the analogue of the reference's ``ds`` measure with
-    ``subdomain_data=integration_entities`` (``mesh_scripts.py:631-633``)."""
+    ``subdomain_data=integration_entities`` (``mesh_scripts.py:631-633``).
 
-    entries: Dict[int, FacetSideList]
+    ``build`` defers construction (host entity-list prep + the batched
+    device upload, one full dispatch round trip on a remote device) until
+    a consumer actually asks for a facet set: a warm re-tag inside a
+    convergence/assembly loop re-uses the operator's frozen facet lists
+    and never touches the fresh measure, so the eager upload was pure
+    round-trip cost on the hot path."""
+
+    entries: Optional[Dict[int, FacetSideList]] = None
+    build: Optional[Callable[[], Dict[int, FacetSideList]]] = None
+
+    def _resolved(self) -> Dict[int, FacetSideList]:
+        if self.entries is None:
+            object.__setattr__(self, "entries", self.build())
+        return self.entries
 
     def __call__(self, ind: int) -> FacetSideList:
-        return self.entries[ind]
+        return self._resolved()[ind]
 
     def ids(self):
-        return tuple(self.entries.keys())
+        return tuple(self._resolved().keys())

@@ -509,10 +509,12 @@ def compute_tags_measures(
         # id 100: Gamma_h (tag-4 facets) seen from inside Omega_h (cells 1|2)
         # id 101: interior-boundary facets (tag 3) seen from the cut side
         # (cells 2|3) — reference mesh_scripts.py:617-629.
-        # one batched upload for BOTH measures (each device_put call is a
-        # full round trip on a remote device)
+        # LAZY: entity-list prep + the (single batched) upload run on first
+        # access only — a warm re-tag in a solve loop re-uses the
+        # operator's frozen facet lists and never reads the fresh measure,
+        # so building it eagerly costs a full device round trip for nothing
         measure = BoundaryMeasure(
-            one_sided_facets_multi(
+            build=lambda: one_sided_facets_multi(
                 grid,
                 {
                     100: (np.where(ft == 4)[0], (1, 2)),
