@@ -24,6 +24,7 @@ from .strong_dirichlet3 import StrongDirichletPoisson3
 from .weak_dirichlet3 import WeakDirichletPoisson3
 from .interface_elasticity3 import InterfaceElasticity3
 from .unstructured import (
+    InterfaceElasticityU,
     NeumannPoissonU,
     RobinPoissonU,
     StrongDirichletPoissonU,
@@ -34,6 +35,7 @@ __all__ = [
     "WeakDirichletPoissonU",
     "StrongDirichletPoissonU",
     "NeumannPoissonU",
+    "InterfaceElasticityU",
     "RobinPoissonU",
     "WeakDirichletPoisson",
     "StrongDirichletPoisson",

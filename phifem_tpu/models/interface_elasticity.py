@@ -62,10 +62,177 @@ def _div_tensor(t):
 def dof_mask_from_cells(space: Space, cells: np.ndarray) -> jnp.ndarray:
     """Boolean mask of scalar DoFs touched by ``cells`` (replaces
     ``locate_dofs_topological`` over tagged cells, reference
-    ``demo/interface-elasticity/main.py:300-315``)."""
+    ``demo/interface-elasticity/main.py:300-315``).  Generic over the
+    structured :class:`~phifem_tpu.spaces.Space` and the unstructured
+    :class:`~phifem_tpu.uassembly.USpace` (both expose ``cell_dofs`` /
+    ``num_scalar_dofs``)."""
     mask = jnp.zeros(space.num_scalar_dofs, bool)
     dofs = space.cell_dofs[jnp.asarray(cells, jnp.int32)]
     return mask.at[dofs.reshape(-1)].set(True)
+
+
+def s5_forms(
+    pen,
+    stab,
+    E_in,
+    nu_in,
+    E_out,
+    nu_out,
+    primal_degree,
+    flux_degree,
+    levelset_degree,
+    phi_h,
+    f,
+    ds_in,
+    ds_out,
+):
+    """The S5 interface-elasticity term lists (operator + RHS, reference
+    ``demo/interface-elasticity/main.py:145-277``), shared verbatim by the
+    structured scheme below and the unstructured one
+    (:class:`phifem_tpu.models.unstructured.InterfaceElasticityU`) — one
+    definition of the discrete form, two mesh backends.
+
+    ``ds_in`` / ``ds_out`` are the two one-sided boundary measures (ids
+    100 / 101 of the tagging contract).  Returns ``(cell_terms,
+    facet_terms, boundary_terms, rhs_cell_terms)`` ready for either
+    ``assembly.assemble_operator`` or ``uassembly.assemble_operator``."""
+    li, mi = lame(E_in, nu_in)
+    lo, mo = lame(E_out, nu_out)
+    coef_in = (E_in / (E_in + E_out)) ** 2
+    coef_out = (E_out / (E_in + E_out)) ** 2
+    qdeg = 2 * (flux_degree + levelset_degree) + 2
+
+    def stiff_in(u, v, d, x, ctx):
+        return jnp.sum(_sigma(u["u_in"].grad, li, mi) * _eps(v["u_in"].grad))
+
+    def stiff_out(u, v, d, x, ctx):
+        return jnp.sum(_sigma(u["u_out"].grad, lo, mo) * _eps(v["u_out"].grad))
+
+    def penalty(u, v, d, x, ctx):
+        h = ctx.h
+        gphi = d["phi"].grad
+        t1 = coef_out * jnp.sum(
+            (u["y_in"].val + _sigma(u["u_in"].grad, li, mi))
+            * (v["y_in"].val + _sigma(v["u_in"].grad, li, mi))
+        )
+        t2 = coef_in * jnp.sum(
+            (u["y_out"].val + _sigma(u["u_out"].grad, lo, mo))
+            * (v["y_out"].val + _sigma(v["u_out"].grad, lo, mo))
+        )
+        ju = (u["y_in"].val - u["y_out"].val) @ gphi
+        jv = (v["y_in"].val - v["y_out"].val) @ gphi
+        t3 = jnp.dot(ju, jv) / h**2
+        su = u["u_in"].val - u["u_out"].val + u["p"].val * d["phi"].val / h
+        sv = v["u_in"].val - v["u_out"].val + v["p"].val * d["phi"].val / h
+        t4 = jnp.dot(su, sv) / h**2
+        return pen * (t1 + t2 + t3 + t4)
+
+    def cell_stab(u, v, d, x, ctx):
+        return (
+            stab
+            * ctx.h**2
+            * (
+                jnp.dot(_div_tensor(u["y_in"]), _div_tensor(v["y_in"]))
+                + jnp.dot(_div_tensor(u["y_out"]), _div_tensor(v["y_out"]))
+            )
+        )
+
+    def ghost_in(u0, u1, v0, v1, d0, d1, x, n, ctx):
+        ju = (_sigma(u0["u_in"].grad, li, mi) - _sigma(u1["u_in"].grad, li, mi)) @ n
+        jv = (_sigma(v0["u_in"].grad, li, mi) - _sigma(v1["u_in"].grad, li, mi)) @ n
+        return stab * ctx.h * jnp.dot(ju, jv)
+
+    def ghost_out(u0, u1, v0, v1, d0, d1, x, n, ctx):
+        ju = (_sigma(u0["u_out"].grad, lo, mo) - _sigma(u1["u_out"].grad, lo, mo)) @ n
+        jv = (_sigma(v0["u_out"].grad, lo, mo) - _sigma(v1["u_out"].grad, lo, mo)) @ n
+        return stab * ctx.h * jnp.dot(ju, jv)
+
+    def bdry_in(u, v, d, x, n, ctx):
+        return jnp.dot(u["y_in"].val @ n, v["u_in"].val)
+
+    def bdry_out(u, v, d, x, n, ctx):
+        return jnp.dot(u["y_out"].val @ n, v["u_out"].val)
+
+    def rhs_in(v, d, x, ctx):
+        return jnp.dot(d["f"].val, v["u_in"].val)
+
+    def rhs_out(v, d, x, ctx):
+        return jnp.dot(d["f"].val, v["u_out"].val)
+
+    def rhs_stab(v, d, x, ctx):
+        return (
+            stab
+            * ctx.h**2
+            * (
+                jnp.dot(d["f"].val, _div_tensor(v["y_in"]))
+                + jnp.dot(d["f"].val, _div_tensor(v["y_out"]))
+            )
+        )
+
+    data = {"phi": phi_h}
+    fdata = {"f": f}
+    cell_terms = [
+        (CellTerm(stiff_in, (1, 2), degree=2 * primal_degree, uniform=True), {}),
+        (CellTerm(stiff_out, (2, 3), degree=2 * primal_degree, uniform=True), {}),
+        (CellTerm(penalty, (2,), degree=qdeg), data),
+        (CellTerm(cell_stab, (2,), degree=2 * flux_degree, uniform=True), {}),
+    ]
+    facet_terms = [
+        (FacetTerm(ghost_in, region=(3,), npts=2), {}),
+        (FacetTerm(ghost_out, region=(4,), npts=2), {}),
+    ]
+    boundary_terms = [
+        (BoundaryTerm(bdry_in, ds_in, npts=2), {}),
+        (BoundaryTerm(bdry_out, ds_out, npts=2), {}),
+    ]
+    rhs_cell_terms = [
+        (CellTerm(rhs_in, (1, 2), degree=qdeg), fdata),
+        (CellTerm(rhs_out, (2, 3), degree=qdeg), fdata),
+        (CellTerm(rhs_stab, (2,), degree=qdeg), fdata),
+    ]
+    return cell_terms, facet_terms, boundary_terms, rhs_cell_terms
+
+
+def s5_rigid_modes(system: System, U, interp) -> tuple:
+    """COLLECTIVE rigid-body motions of (u_in, u_out) — the S5 system's
+    exact null space (see :meth:`InterfaceElasticity.rigid_modes`).
+    ``interp`` is the backend's interpolate (structured or unstructured)."""
+    modes = []
+    for fn in (
+        lambda x: jnp.stack(
+            [jnp.ones(x.shape[:-1]), jnp.zeros(x.shape[:-1])], axis=-1
+        ),
+        lambda x: jnp.stack(
+            [jnp.zeros(x.shape[:-1]), jnp.ones(x.shape[:-1])], axis=-1
+        ),
+        lambda x: jnp.stack([-x[..., 1], x[..., 0]], axis=-1),
+    ):
+        w = interp(fn, U).data
+        m = {
+            n: jnp.zeros(sp.dof_shape, w.dtype)
+            for n, sp in system.fields.items()
+        }
+        m["u_in"] = w
+        m["u_out"] = w
+        modes.append(m)
+    return tuple(modes)
+
+
+def s5_recombine(U, cell_tags: np.ndarray, u_in, u_out):
+    """Reference recombination (``demo/interface-elasticity/main.py:296-323``):
+    halve both halves on cut cells, zero each half's strictly-opposite-side
+    DoFs, and add — one displacement field over the whole box."""
+    ct = np.asarray(cell_tags)
+    m_cut = dof_mask_from_cells(U, np.where(ct == 2)[0])
+    m_int = dof_mask_from_cells(U, np.where(ct == 1)[0])
+    m_ext = dof_mask_from_cells(U, np.where(ct == 3)[0])
+    rm_in = jnp.logical_and(m_ext, jnp.logical_not(m_cut))
+    rm_out = jnp.logical_and(m_int, jnp.logical_not(m_cut))
+    u_in = jnp.where(m_cut[:, None], u_in / 2.0, u_in)
+    u_out = jnp.where(m_cut[:, None], u_out / 2.0, u_out)
+    u_in = jnp.where(rm_in[:, None], 0.0, u_in)
+    u_out = jnp.where(rm_out[:, None], 0.0, u_out)
+    return u_in + u_out
 
 
 @dataclasses.dataclass
@@ -115,117 +282,37 @@ class InterfaceElasticity(SchemeBase):
 
     def assemble(self, rhs: bool = True):
         g = self.grid
-        pen, stab = self.pen_coef, self.stab_coef
-        li, mi = self.lmbda_in, self.mu_in
-        lo, mo = self.lmbda_out, self.mu_out
-        coef_in = (self.E_in / (self.E_in + self.E_out)) ** 2
-        coef_out = (self.E_out / (self.E_in + self.E_out)) ** 2
-        qdeg = 2 * (self.flux_degree + self.levelset_degree) + 2
-
-        def stiff_in(u, v, d, x, ctx):
-            return jnp.sum(_sigma(u["u_in"].grad, li, mi) * _eps(v["u_in"].grad))
-
-        def stiff_out(u, v, d, x, ctx):
-            return jnp.sum(_sigma(u["u_out"].grad, lo, mo) * _eps(v["u_out"].grad))
-
-        def penalty(u, v, d, x, ctx):
-            h = ctx.h
-            gphi = d["phi"].grad
-            t1 = coef_out * jnp.sum(
-                (u["y_in"].val + _sigma(u["u_in"].grad, li, mi))
-                * (v["y_in"].val + _sigma(v["u_in"].grad, li, mi))
-            )
-            t2 = coef_in * jnp.sum(
-                (u["y_out"].val + _sigma(u["u_out"].grad, lo, mo))
-                * (v["y_out"].val + _sigma(v["u_out"].grad, lo, mo))
-            )
-            ju = (u["y_in"].val - u["y_out"].val) @ gphi
-            jv = (v["y_in"].val - v["y_out"].val) @ gphi
-            t3 = jnp.dot(ju, jv) / h**2
-            su = u["u_in"].val - u["u_out"].val + u["p"].val * d["phi"].val / h
-            sv = v["u_in"].val - v["u_out"].val + v["p"].val * d["phi"].val / h
-            t4 = jnp.dot(su, sv) / h**2
-            return pen * (t1 + t2 + t3 + t4)
-
-        def cell_stab(u, v, d, x, ctx):
-            return (
-                stab
-                * ctx.h**2
-                * (
-                    jnp.dot(_div_tensor(u["y_in"]), _div_tensor(v["y_in"]))
-                    + jnp.dot(_div_tensor(u["y_out"]), _div_tensor(v["y_out"]))
-                )
-            )
-
-        def ghost_in(u0, u1, v0, v1, d0, d1, x, n, ctx):
-            ju = (_sigma(u0["u_in"].grad, li, mi) - _sigma(u1["u_in"].grad, li, mi)) @ n
-            jv = (_sigma(v0["u_in"].grad, li, mi) - _sigma(v1["u_in"].grad, li, mi)) @ n
-            return stab * ctx.h * jnp.dot(ju, jv)
-
-        def ghost_out(u0, u1, v0, v1, d0, d1, x, n, ctx):
-            ju = (_sigma(u0["u_out"].grad, lo, mo) - _sigma(u1["u_out"].grad, lo, mo)) @ n
-            jv = (_sigma(v0["u_out"].grad, lo, mo) - _sigma(v1["u_out"].grad, lo, mo)) @ n
-            return stab * ctx.h * jnp.dot(ju, jv)
-
-        def bdry_in(u, v, d, x, n, ctx):
-            return jnp.dot(u["y_in"].val @ n, v["u_in"].val)
-
-        def bdry_out(u, v, d, x, n, ctx):
-            return jnp.dot(u["y_out"].val @ n, v["u_out"].val)
-
-        m100 = self.tags.boundaries_measure(100)
-        m101 = self.tags.boundaries_measure(101)
-        data = {"phi": self.phi_h}
+        cell_terms, facet_terms, boundary_terms, rhs_cell_terms = s5_forms(
+            self.pen_coef,
+            self.stab_coef,
+            self.E_in,
+            self.nu_in,
+            self.E_out,
+            self.nu_out,
+            self.primal_degree,
+            self.flux_degree,
+            self.levelset_degree,
+            self.phi_h,
+            self.f,
+            self.tags.boundaries_measure(100),
+            self.tags.boundaries_measure(101),
+        )
         self.op = assemble_operator(
             self.system,
             g,
-            cell_terms=[
-                (CellTerm(stiff_in, (1, 2), degree=2 * self.primal_degree, uniform=True), {}),
-                (CellTerm(stiff_out, (2, 3), degree=2 * self.primal_degree, uniform=True), {}),
-                (CellTerm(penalty, (2,), degree=qdeg), data),
-                (CellTerm(cell_stab, (2,), degree=2 * self.flux_degree, uniform=True), {}),
-            ],
-            facet_terms=[
-                (FacetTerm(ghost_in, region=(3,), npts=2), {}),
-                (FacetTerm(ghost_out, region=(4,), npts=2), {}),
-            ],
-            boundary_terms=[
-                (BoundaryTerm(bdry_in, m100, npts=2), {}),
-                (BoundaryTerm(bdry_out, m101, npts=2), {}),
-            ],
+            cell_terms=cell_terms,
+            facet_terms=facet_terms,
+            boundary_terms=boundary_terms,
             cell_tags=self.cell_tags,
             facet_tags=self.facet_tags,
         )
-
-        def rhs_in(v, d, x, ctx):
-            return jnp.dot(d["f"].val, v["u_in"].val)
-
-        def rhs_out(v, d, x, ctx):
-            return jnp.dot(d["f"].val, v["u_out"].val)
-
-        def rhs_stab(v, d, x, ctx):
-            return (
-                stab
-                * ctx.h**2
-                * (
-                    jnp.dot(d["f"].val, _div_tensor(v["y_in"]))
-                    + jnp.dot(d["f"].val, _div_tensor(v["y_out"]))
-                )
-            )
-
-        fdata = {"f": self.f}
         if not rhs:
             # operator-only path (multigrid coarse levels skip the RHS)
             return self
-
         self.b = assemble_vector(
             self.system,
             g,
-            cell_terms=[
-                (CellTerm(rhs_in, (1, 2), degree=qdeg), fdata),
-                (CellTerm(rhs_out, (2, 3), degree=qdeg), fdata),
-                (CellTerm(rhs_stab, (2,), degree=qdeg), fdata),
-            ],
+            cell_terms=rhs_cell_terms,
             cell_tags=self.cell_tags,
         )
         return self
@@ -238,25 +325,7 @@ class InterfaceElasticity(SchemeBase):
         configures MUMPS null-pivot handling, main.py:251-254), and an
         equal rigid motion of both blocks has zero strain, zero penalty
         jump (su = u_in - u_out + p phi/h with p = 0) and zero flux."""
-        modes = []
-        for fn in (
-            lambda x: jnp.stack(
-                [jnp.ones(x.shape[:-1]), jnp.zeros(x.shape[:-1])], axis=-1
-            ),
-            lambda x: jnp.stack(
-                [jnp.zeros(x.shape[:-1]), jnp.ones(x.shape[:-1])], axis=-1
-            ),
-            lambda x: jnp.stack([-x[..., 1], x[..., 0]], axis=-1),
-        ):
-            w = interpolate(fn, self.U).data
-            m = {
-                n: jnp.zeros(sp.dof_shape, w.dtype)
-                for n, sp in self.system.fields.items()
-            }
-            m["u_in"] = w
-            m["u_out"] = w
-            modes.append(m)
-        return tuple(modes)
+        return s5_rigid_modes(self.system, self.U, interpolate)
 
     def lattice_preconditioner(
         self,
@@ -308,24 +377,10 @@ class InterfaceElasticity(SchemeBase):
             kw["deflate"] = self.rigid_modes()
         res = solve(self.op, self.b, bcs=self.bcs, method=method, tol=tol, **kw)
         self.result = res
-        u_in = res.x["u_in"]
-        u_out = res.x["u_out"]
-        # Recombination (reference main.py:296-323): halve on cut cells,
-        # zero strictly-opposite-side DoFs, add.
-        ct = np.asarray(self.cell_tags)
-        cut = np.where(ct == 2)[0]
-        interior = np.where(ct == 1)[0]
-        exterior = np.where(ct == 3)[0]
-        m_cut = dof_mask_from_cells(self.U, cut)
-        m_int = dof_mask_from_cells(self.U, interior)
-        m_ext = dof_mask_from_cells(self.U, exterior)
-        rm_in = jnp.logical_and(m_ext, jnp.logical_not(m_cut))
-        rm_out = jnp.logical_and(m_int, jnp.logical_not(m_cut))
-        u_in = jnp.where(m_cut[:, None], u_in / 2.0, u_in)
-        u_out = jnp.where(m_cut[:, None], u_out / 2.0, u_out)
-        u_in = jnp.where(rm_in[:, None], 0.0, u_in)
-        u_out = jnp.where(rm_out[:, None], 0.0, u_out)
         self.u_in_h = Function(self.U, res.x["u_in"])
         self.u_out_h = Function(self.U, res.x["u_out"])
-        self.u_h = Function(self.U, u_in + u_out)
+        self.u_h = Function(
+            self.U,
+            s5_recombine(self.U, self.cell_tags, res.x["u_in"], res.x["u_out"]),
+        )
         return res

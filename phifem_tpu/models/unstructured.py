@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..assembly import CellTerm
-from ..solvers import SolveResult, solve
+from ..solvers import DirichletBC, SolveResult, solve
 from ..tagging import compute_tags_measures
 from ..uassembly import (
     UFunction,
@@ -31,6 +31,7 @@ from ..uassembly import (
     assemble_operator,
     assemble_scalar,
     assemble_vector,
+    boundary_dof_mask,
     interpolate,
 )
 from ..umesh import UMesh, _u_build_submesh
@@ -117,8 +118,10 @@ class USchemeBase:
                 )
             )
 
-        l2_num = _scalar(lambda d, x, ctx: (d["u"].val - d["uex"].val) ** 2)
-        l2_den = _scalar(lambda d, x, ctx: d["uex"].val ** 2)
+        l2_num = _scalar(
+            lambda d, x, ctx: jnp.sum((d["u"].val - d["uex"].val) ** 2)
+        )
+        l2_den = _scalar(lambda d, x, ctx: jnp.sum(d["uex"].val ** 2))
         h1_num = _scalar(
             lambda d, x, ctx: jnp.sum((d["u"].grad - d["guex"].val) ** 2)
         )
@@ -332,6 +335,109 @@ class NeumannPoissonU(USchemeBase):
         res = super().solve(method=method, tol=tol, **kw)
         self.u_h = UFunction(self.V, res.x["u"])
         self.y_h = UFunction(self.Y, res.x["y"])
+        return res
+
+
+@dataclasses.dataclass
+class InterfaceElasticityU(USchemeBase):
+    """S5 two-material interface elasticity on an imported mesh (reference
+    ``demo/interface-elasticity/main.py:145-277`` run on an arbitrary
+    dolfinx mesh).  Same 5-field system, contrast-weighted penalties,
+    one-sided ds(100)/ds(101) terms, Dirichlet lifting on the outer
+    boundary, rigid-mode deflation and cut-cell recombination as the
+    structured :class:`~phifem_tpu.models.interface_elasticity.InterfaceElasticity`
+    — the discrete form is literally shared (:func:`s5_forms`)."""
+
+    primal_degree: int = 1
+    flux_degree: int = 1
+    auxiliary_degree: int = 1
+    levelset_degree: int = 1
+    E_in: float = 1.0
+    nu_in: float = 0.3
+    E_out: float = 0.001
+    nu_out: float = 0.3
+
+    def setup(
+        self,
+        levelset: LevelSetLike,
+        f: Union[Callable, UFunction],
+        u_dbc: Union[Callable, UFunction],
+    ):
+        if self.mode != "bg":
+            raise ValueError("S5 runs on the background mesh (reference bg mode)")
+        self.tag(levelset)
+        m = self.mesh
+        U = USpace.lagrange(m, self.primal_degree, (2,))
+        T = USpace.lagrange(m, self.flux_degree, (2, 2))
+        P = USpace.lagrange(m, self.auxiliary_degree, (2,))
+        Vphi = USpace.lagrange(m, self.levelset_degree)
+        self.U, self.T, self.P = U, T, P
+        self.system = System(
+            {"u_in": U, "u_out": U, "y_in": T, "y_out": T, "p": P}
+        )
+        self.phi_h = levelset if isinstance(levelset, UFunction) else interpolate(levelset, Vphi)
+        self.f = f
+        self.u_dbc = u_dbc if isinstance(u_dbc, UFunction) else interpolate(u_dbc, U)
+        bmask = boundary_dof_mask(U)
+        self.bcs = (DirichletBC("u_in", bmask[:, None], self.u_dbc.data),)
+        self._setup_args = (levelset, f, u_dbc)
+        return self
+
+    def assemble(self, rhs: bool = True):
+        from .interface_elasticity import s5_forms
+
+        cell_terms, facet_terms, boundary_terms, rhs_cell_terms = s5_forms(
+            self.pen_coef,
+            self.stab_coef,
+            self.E_in,
+            self.nu_in,
+            self.E_out,
+            self.nu_out,
+            self.primal_degree,
+            self.flux_degree,
+            self.levelset_degree,
+            self.phi_h,
+            self.f,
+            self.tags.boundaries_measure(100),
+            self.tags.boundaries_measure(101),
+        )
+        self.op = assemble_operator(
+            self.system,
+            self.mesh,
+            cell_terms=cell_terms,
+            facet_terms=facet_terms,
+            boundary_terms=boundary_terms,
+            cell_tags=self.cell_tags,
+            facet_tags=self.facet_tags,
+        )
+        if not rhs:
+            return self
+        self.b = assemble_vector(
+            self.system,
+            self.mesh,
+            cell_terms=rhs_cell_terms,
+            cell_tags=self.cell_tags,
+        )
+        return self
+
+    def rigid_modes(self) -> tuple:
+        from .interface_elasticity import s5_rigid_modes
+
+        return s5_rigid_modes(self.system, self.U, interpolate)
+
+    def solve(self, method: str = "bicgstab", tol: float = 1e-10, **kw) -> SolveResult:
+        from .interface_elasticity import s5_recombine
+
+        if method != "dense" and "deflate" not in kw:
+            kw["deflate"] = self.rigid_modes()
+        res = solve(self.op, self.b, bcs=self.bcs, method=method, tol=tol, **kw)
+        self.result = res
+        self.u_in_h = UFunction(self.U, res.x["u_in"])
+        self.u_out_h = UFunction(self.U, res.x["u_out"])
+        self.u_h = UFunction(
+            self.U,
+            s5_recombine(self.U, self.cell_tags, res.x["u_in"], res.x["u_out"]),
+        )
         return res
 
 

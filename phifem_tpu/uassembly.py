@@ -236,6 +236,24 @@ def interpolate(f: Callable, space: USpace) -> UFunction:
     return UFunction(space, jnp.reshape(vals, want))
 
 
+def boundary_dof_mask(space: USpace) -> Array:
+    """Mask of scalar DoFs on the mesh's exterior boundary — the
+    unstructured twin of :func:`phifem_tpu.spaces.boundary_dof_mask`
+    (topological: vertices + edge nodes of facets with one adjacent
+    cell, equivalent to ``locate_dofs_topological`` over
+    ``exterior_facet_indices``)."""
+    if space.element.family == "DG":
+        raise ValueError("DG spaces have no boundary DoFs")
+    m, k = space.mesh, space.degree
+    bf = np.where(m.boundary_facet_mask)[0]
+    mask = np.zeros(space.num_scalar_dofs, bool)
+    mask[np.unique(m.facets[bf])] = True
+    if k > 1:
+        edge = m.num_vertices + bf[:, None] * (k - 1) + np.arange(k - 1)[None, :]
+        mask[edge.reshape(-1)] = True
+    return jnp.asarray(mask)
+
+
 def _is_fn(v) -> bool:
     from .spaces import Function as _F
 

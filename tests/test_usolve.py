@@ -21,6 +21,8 @@ import pytest
 
 import phifem_tpu as pf
 from phifem_tpu.models import (
+    InterfaceElasticity,
+    InterfaceElasticityU,
     NeumannPoisson,
     NeumannPoissonU,
     RobinPoisson,
@@ -193,7 +195,63 @@ def test_us4_matches_structured_dense():
     _dense_equal(ss.op, su.op, ss.b, su.b)
 
 
-def test_us3_perturbed_solve():
+E_IN, E_OUT = 1.0, 0.1
+
+
+def u_vec(x):
+    return jnp.stack(
+        [jnp.sin(x[..., 0]) * jnp.cos(x[..., 1]), x[..., 0] * x[..., 1]],
+        axis=-1,
+    )
+
+
+def f_vec(x):
+    return jnp.stack(
+        [jnp.cos(x[..., 0]) + x[..., 1], jnp.sin(x[..., 1]) - x[..., 0]],
+        axis=-1,
+    )
+
+
+def test_us5_matches_structured_dense():
+    """S5 interface elasticity (5-field, tensor flux spaces, both one-sided
+    measures ds(100)+ds(101), Dirichlet BC on u_in) assembles identically
+    on the two backends and the dense (lstsq null-pivot) solves agree."""
+    n = 8
+    g = pf.Grid(n, n, BOX, pf.CellType.triangle)
+    ss = InterfaceElasticity(g, mode="bg", E_in=E_IN, E_out=E_OUT)
+    ss.setup(phi_circle, f_vec, u_vec)
+    ss.assemble()
+    um, _ = UMesh.from_grid(g)
+    su = InterfaceElasticityU(um, mode="bg", E_in=E_IN, E_out=E_OUT)
+    su.setup(phi_circle, f_vec, u_vec)
+    su.assemble()
+    _dense_equal(ss.op, su.op, ss.b, su.b)
+    # same Dirichlet rows (vertex numbering is shared on a from_grid copy)
+    ms = np.asarray(ss.bcs[0].mask)[:, 0]
+    mu = np.asarray(su.bcs[0].mask)[:, 0]
+    assert (ms == mu).all()
+    rs, ru = ss.solve(method="dense"), su.solve(method="dense")
+    scale = max(np.abs(np.asarray(rs.x["u_in"])).max(), 1.0)
+    for f_ in ("u_in", "u_out"):
+        d = np.abs(np.asarray(rs.x[f_]) - np.asarray(ru.x[f_])).max()
+        assert d < 1e-7 * scale, (f_, d)
+    d = np.abs(np.asarray(ss.u_h.data) - np.asarray(su.u_h.data)).max()
+    assert d < 1e-7 * scale, d
+
+
+def test_us5_perturbed_deflated_krylov():
+    """S5 on a genuinely irregular mesh: the singular system solves with
+    rigid-mode deflation and matches the dense null-pivot gauge after
+    recombination up to a rigid motion (compare strains via H10 error of
+    the difference being small is overkill here — just check convergence
+    and that the deflated residual is tiny)."""
+    mesh = _perturbed_mesh(10)
+    s = InterfaceElasticityU(mesh, mode="bg", E_in=E_IN, E_out=E_OUT)
+    s.setup(phi_circle, f_vec, u_vec)
+    s.assemble()
+    r = s.solve(method="bicgstab", tol=1e-9, maxiter=400)
+    assert r.converged, r.residual
+    assert r.iterations > 0
     """S3 on a genuinely irregular mesh: solves and resolves the analytic
     solution at discretization accuracy."""
     s = NeumannPoissonU(_perturbed_mesh(16), mode="bg")
