@@ -22,6 +22,7 @@ from .sharding import (
     sharded_matvec_fn,
     sharded_solve,
 )
+from .uop import ElementShardedOperator, element_sharded_solve
 
 __all__ = [
     "HaloOperator",
@@ -32,6 +33,8 @@ __all__ = [
     "build_sharded_lattice3_mg",
     "sharded_lattice3_solve",
     "UnsupportedFieldError",
+    "ElementShardedOperator",
+    "element_sharded_solve",
     "halo_solve",
     "make_mesh",
     "shard_vector",
