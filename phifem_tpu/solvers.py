@@ -383,8 +383,11 @@ def solve(
     precond: Optional[Callable] = None,
     deflate: Optional[Tuple[Dict[str, Array], ...]] = None,
 ) -> SolveResult:
-    """Solve ``A x = b`` with preconditioned Krylov iterations (or a dense
-    LU fallback with ``method="dense"`` for small/tests).
+    """Solve ``A x = b`` with preconditioned Krylov iterations (or direct
+    factorizations: ``method="dense"`` — lstsq with null-pivot handling,
+    small systems — and ``method="sparse"`` — cached SuperLU on the host,
+    the reference's MUMPS-LU analogue for mid-size/unstructured/high-degree
+    systems).
 
     ``precond`` overrides the default Jacobi preconditioner (e.g. a
     :class:`phifem_tpu.mg.VCycle`).
@@ -399,10 +402,12 @@ def solve(
     along the null basis, and the reported residual is the deflated one
     (the raw residual stalls at the RHS's inconsistency level — a
     discretization-consistency term, not a solver failure)."""
-    if method == "dense":
+    if method in ("dense", "sparse"):
         matvec, diag, active = masked_operator(op, bcs)
         b = lift_rhs(op, b, bcs, active)
-        return _dense_solve(op, b, bcs, active)
+        if method == "dense":
+            return _dense_solve(op, b, bcs, active)
+        return _sparse_solve(op, b, bcs, active)
 
     if maxiter is None:
         maxiter = 25 * int(np.sqrt(op.system.num_dofs)) + 1000
@@ -711,6 +716,61 @@ def solve_ir(
         rel = float(rel)
         it += 1
     return SolveResult(x=x, residual=rel, iterations=it, converged=rel <= tol)
+
+
+def _sparse_solve(op: Operator, b, bcs, active) -> SolveResult:
+    """Host sparse direct LU (SuperLU) of the reduced system — the
+    reference's PETSc/MUMPS-LU analogue (``demo/weak-dirichlet/flower/
+    main.py:45``: every reference solve is LU) at scales where the dense
+    ``lstsq`` path's O(n^2) memory is prohibitive.  O(nnz) assembly via the
+    operator's COO triplets, identity on inactive/BC rows.  The
+    factorization is cached on the operator (keyed by data version + BC
+    identities) so repeated RHS solves re-use it — the production pattern
+    of the reference's convergence loops.
+
+    Unlike ``method="dense"`` there is no least-squares null-pivot
+    handling: EXACTLY singular systems (e.g. S5's collective rigid modes)
+    should use ``method="dense"`` or the deflated Krylov path."""
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import splu
+
+    n = op.system.num_dofs
+    off = op.system.offsets()
+    act = np.zeros(n, bool)
+    bv = np.zeros(n)
+    for name, s in op.system.fields.items():
+        sl = slice(off[name], off[name] + s.num_dofs)
+        act[sl] = np.broadcast_to(
+            np.asarray(active[name]), s.dof_shape
+        ).reshape(-1)
+        bv[sl] = np.asarray(b[name]).reshape(-1)
+
+    key = (op.data_version, tuple(id(bc) for bc in bcs))
+    cached = getattr(op, "_splu_cache", None)
+    if cached is None or cached[0] != key:
+        sel = {
+            name: np.ones(s.dof_shape, bool)
+            for name, s in op.system.fields.items()
+        }
+        A, _ = op.restricted_csr(sel)
+        A = A.tocoo()
+        keep = act[A.row] & act[A.col]
+        inact = np.where(~act)[0]
+        rows = np.concatenate([A.row[keep], inact])
+        cols = np.concatenate([A.col[keep], inact])
+        vals = np.concatenate([A.data[keep], np.ones(len(inact))])
+        Ared = sp.csc_matrix((vals, (rows, cols)), shape=(n, n))
+        lu = splu(Ared)
+        cached = op._splu_cache = (key, lu, Ared)
+    _, lu, Ared = cached
+
+    xv = lu.solve(bv)
+    r = np.linalg.norm(Ared @ xv - bv) / max(np.linalg.norm(bv), 1e-300)
+    x = {}
+    for name, s in op.system.fields.items():
+        sl = slice(off[name], off[name] + s.num_dofs)
+        x[name] = jnp.asarray(xv[sl].reshape(s.dof_shape))
+    return SolveResult(x=x, residual=float(r), iterations=1, converged=True)
 
 
 def _dense_solve(op: Operator, b, bcs, active) -> SolveResult:

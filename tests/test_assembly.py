@@ -159,6 +159,47 @@ def test_cg_matches_dense():
     assert np.isclose(e_cg, e_dense, rtol=1e-6)
 
 
+def test_sparse_lu_matches_dense():
+    """method='sparse' (host SuperLU, the reference's MUMPS-LU analogue)
+    reproduces the dense lstsq path on a BC'd system to direct-solver
+    accuracy, and its cached factorization survives repeated solves."""
+    e_sp = _poisson_error("triangle", 10, "sparse")
+    e_dn = _poisson_error("triangle", 10, "dense")
+    assert np.isclose(e_sp, e_dn, rtol=1e-9), (e_sp, e_dn)
+
+
+def test_sparse_lu_phifem_system():
+    """Sparse LU on a real phi-FEM S1 system (penalty + ghost + one-sided
+    boundary batches, mixed u/p fields): matches dense entrywise and the
+    factorization cache is invalidated by reassemble()."""
+    from phifem_tpu.models import WeakDirichletPoisson
+
+    phi = lambda x: x[..., 0] ** 2 + x[..., 1] ** 2 - 0.49
+    uex = lambda x: jnp.cos(x[..., 0]) * jnp.sin(x[..., 1])
+    f = lambda x: 2.0 * uex(x)
+    g = pf.Grid(12, 12, ((-1.0, -1.0), (1.0, 1.0)), "triangle")
+    s = WeakDirichletPoisson(g, mode="bg")
+    s.setup(phi, f, u_D=uex)
+    s.assemble()
+    rd = solve(s.op, s.b, method="dense")
+    rs = solve(s.op, s.b, method="sparse")
+    assert rs.residual < 1e-10, rs.residual
+    for k in rd.x:
+        du = np.abs(np.asarray(rd.x[k]) - np.asarray(rs.x[k])).max()
+        sc = max(np.abs(np.asarray(rd.x[k])).max(), 1e-300)
+        assert du < 1e-8 * sc, (k, du)
+    # cache: second solve reuses the LU object
+    lu1 = s.op._splu_cache[1]
+    solve(s.op, s.b, method="sparse")
+    assert s.op._splu_cache[1] is lu1
+    # reassemble with scaled data invalidates it
+    s.phi_h.data = 2.0 * s.phi_h.data
+    s.op.reassemble()
+    r2 = solve(s.op, s.b, method="sparse")
+    assert s.op._splu_cache[1] is not lu1
+    assert r2.residual < 1e-10
+
+
 def test_stencil_rhs_matches_generic():
     """The data-linear vertex-stencil RHS path (assembly._try_stencil_rhs)
     must reproduce the generic gathered assembly exactly — same local

@@ -266,8 +266,8 @@ def test_weak_dirichlet_p3_convergence():
         s.assemble()
         # penalized degree-3 systems are too ill-conditioned for plain
         # Jacobi-Krylov (residual floors ~1e-6, algebra-dominated errors);
-        # use the dense LU path — the reference solves everything with LU
-        r = s.solve(method="dense")
+        # use the sparse-LU path — the reference solves everything with LU
+        r = s.solve(method="sparse")
         e = s.l2_h1_errors(s.u_h, uex, region=(1, 2))
         errs.append(e["l2"])
     # O(h^4) = 16x per halving; require well above the P2 rate (8x)
@@ -296,8 +296,8 @@ def test_weak_dirichlet_q3_convergence():
         s.assemble()
         # penalized degree-3 systems are too ill-conditioned for plain
         # Jacobi-Krylov (residual floors ~1e-6, algebra-dominated errors);
-        # use the dense LU path — the reference solves everything with LU
-        r = s.solve(method="dense")
+        # use the sparse-LU path — the reference solves everything with LU
+        r = s.solve(method="sparse")
         e = s.l2_h1_errors(s.u_h, uex, region=(1, 2))
         errs.append(e["l2"])
     assert errs[0] / errs[1] > 10.0, errs
