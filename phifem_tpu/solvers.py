@@ -761,8 +761,9 @@ def _sparse_solve(op: Operator, b, bcs, active) -> SolveResult:
         vals = np.concatenate([A.data[keep], np.ones(len(inact))])
         Ared = sp.csc_matrix((vals, (rows, cols)), shape=(n, n))
         lu = splu(Ared)
-        cached = op._splu_cache = (key, lu, Ared)
-    _, lu, Ared = cached
+        # keep the bc objects referenced so the id()-based key stays unique
+        cached = op._splu_cache = (key, lu, Ared, tuple(bcs))
+    _, lu, Ared = cached[:3]
 
     xv = lu.solve(bv)
     r = np.linalg.norm(Ared @ xv - bv) / max(np.linalg.norm(bv), 1e-300)

@@ -308,3 +308,27 @@ def test_element_sharded_solve_s5_deflated():
         du = float(jnp.max(jnp.abs(x_sh[k] - r_ref.x[k])))
         scale = max(float(jnp.max(jnp.abs(r_ref.x[k]))), 1.0)
         assert du < 1e-5 * scale, (k, du)
+
+
+@multidevice
+def test_element_sharded_refresh_after_reassemble():
+    """Distributed assembly: after op.reassemble() with new level-set data,
+    ElementShardedOperator.refresh() repartitions the rebuilt element
+    matrices and the distributed matvec tracks the single-device one."""
+    from phifem_tpu.parallel import ElementShardedOperator, make_mesh
+
+    s = _umesh_problem(11)
+    mesh = make_mesh(8)
+    E = ElementShardedOperator(s.op, mesh)
+    s.phi_h.data = 1.7 * s.phi_h.data
+    s.op.reassemble()
+    E.refresh()
+    mv_ref, diag, active = masked_operator(s.op)
+    rng = np.random.default_rng(1)
+    x = {k: jnp.asarray(rng.normal(size=v.shape)) for k, v in s.b.items()}
+    y_ref = mv_ref(x)
+    y_sh = E.matvec(x)
+    for k in y_ref:
+        err = float(jnp.max(jnp.abs(y_ref[k] - y_sh[k])))
+        sc = float(jnp.max(jnp.abs(y_ref[k])))
+        assert err < 1e-10 * max(sc, 1.0), (k, err, sc)
