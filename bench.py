@@ -459,6 +459,24 @@ def bench_reassemble_large(n: int) -> dict:
     }
 
 
+def _section(extra, key, fn, *args, retries: int = 1):
+    """Run one bench section; retry once on failure.  Remote compiles
+    through the tunnel fail transiently (broken pipe / HTTP transport
+    resets — observed killing whole sections whose kernels then compile
+    fine seconds later), and the server-side compile cache makes the
+    retry cheap for everything already compiled before the hiccup."""
+    for attempt in range(retries + 1):
+        try:
+            extra[key] = fn(*args)
+            extra.pop(key + "_error", None)
+            return extra[key]
+        except Exception:
+            extra[key + "_error"] = traceback.format_exc()[-1500:]
+            if attempt < retries:
+                time.sleep(20.0)  # transient tunnel resets settle quickly
+    return None
+
+
 def main():
     extra = {
         "device": str(jax.devices()[0]),
@@ -467,51 +485,41 @@ def main():
 
     s1 = None
     if os.environ.get("PHIFEM_BENCH_SKIP_S1") != "1":
-        try:
-            s1 = bench_s1_pipeline(int(os.environ.get("PHIFEM_BENCH_N", "200")))
-            extra["s1"] = s1
-        except Exception:
-            extra["s1_error"] = traceback.format_exc()[-1500:]
+        s1 = _section(
+            extra, "s1", bench_s1_pipeline,
+            int(os.environ.get("PHIFEM_BENCH_N", "200")),
+        )
 
     if os.environ.get("PHIFEM_BENCH_SKIP_3D") != "1":
-        try:
-            extra["poisson3d"] = bench_poisson3(
-                int(os.environ.get("PHIFEM_BENCH_3D_N", "216"))
-            )
-        except Exception:
-            extra["poisson3d_error"] = traceback.format_exc()[-1500:]
+        _section(
+            extra, "poisson3d", bench_poisson3,
+            int(os.environ.get("PHIFEM_BENCH_3D_N", "216")),
+        )
 
     if os.environ.get("PHIFEM_BENCH_SKIP_S5") != "1":
-        try:
-            extra["s5"] = bench_s5(int(os.environ.get("PHIFEM_BENCH_S5_N", "128")))
-        except Exception:
-            extra["s5_error"] = traceback.format_exc()[-1500:]
+        _section(
+            extra, "s5", bench_s5,
+            int(os.environ.get("PHIFEM_BENCH_S5_N", "128")),
+        )
 
     if os.environ.get("PHIFEM_BENCH_S53D") == "1":
-        try:
-            extra["s5_3d"] = bench_s5_3d(
-                int(os.environ.get("PHIFEM_BENCH_S53D_N", "16"))
-            )
-        except Exception:
-            extra["s5_3d_error"] = traceback.format_exc()[-1500:]
+        _section(
+            extra, "s5_3d", bench_s5_3d,
+            int(os.environ.get("PHIFEM_BENCH_S53D_N", "16")),
+        )
 
     if os.environ.get("PHIFEM_BENCH_SKIP_ASM") != "1":
-        try:
-            extra["reassemble_large"] = bench_reassemble_large(
-                int(os.environ.get("PHIFEM_BENCH_ASM_N", "3200"))
-            )
-        except Exception:
-            extra["reassemble_large_error"] = traceback.format_exc()[-1500:]
+        _section(
+            extra, "reassemble_large", bench_reassemble_large,
+            int(os.environ.get("PHIFEM_BENCH_ASM_N", "3200")),
+        )
 
     poisson = None
     if os.environ.get("PHIFEM_BENCH_SKIP_POISSON") != "1":
-        try:
-            poisson = bench_poisson_mg(
-                int(os.environ.get("PHIFEM_POISSON_N", "3200"))
-            )
-            extra["poisson_mg"] = poisson
-        except Exception:
-            extra["poisson_error"] = traceback.format_exc()[-1500:]
+        poisson = _section(
+            extra, "poisson_mg", bench_poisson_mg,
+            int(os.environ.get("PHIFEM_POISSON_N", "3200")),
+        )
 
     if poisson is not None:
         # north star: sub-second 10M-DoF solve == vs_baseline 1.0
