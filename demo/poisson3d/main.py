@@ -106,6 +106,11 @@ def main():
         choices=["weak", "strong", "neumann", "robin", "elasticity"],
     )
     ap.add_argument("--n", type=int, default=32)
+    ap.add_argument(
+        "--degree", type=int, default=1, choices=(1, 2, 3),
+        help="Q_degree hexes (weak scheme only; degree 3 uses the sparse"
+        " direct solve, like the 2D degree-3 path)",
+    )
     ap.add_argument("--tol", type=float, default=1e-10)
     ap.add_argument("--maxiter", type=int, default=20000)
     ap.add_argument("--E-out", type=float, default=0.001)
@@ -165,7 +170,9 @@ def main():
     with timer.phase("setup+assemble"):
         if args.scheme == "weak":
             uex = u_smooth
-            s = WeakDirichletPoisson3(g).setup(phi, neg_lap(u_smooth), u_D=u_smooth)
+            s = WeakDirichletPoisson3(g, degree=args.degree).setup(
+                phi, neg_lap(u_smooth), u_D=u_smooth
+            )
         elif args.scheme == "strong":
             uex = u_product
             s = StrongDirichletPoisson3(g).setup(phi, neg_lap(u_product))
@@ -181,10 +188,13 @@ def main():
         s.assemble()
 
     with timer.phase("solve"):
-        kw = {}
-        if args.scheme == "weak":
-            kw["precond"] = s.lattice_preconditioner()
-        r = s.solve(tol=args.tol, maxiter=args.maxiter, **kw)
+        if args.scheme == "weak" and args.degree >= 3:
+            r = s.solve(method="sparse")
+        else:
+            kw = {}
+            if args.scheme == "weak":
+                kw["precond"] = s.lattice_preconditioner()
+            r = s.solve(tol=args.tol, maxiter=args.maxiter, **kw)
 
     print(f"iters {r.iterations} residual {r.residual:.2e} converged={r.converged}")
     errs = s.l2_h1_errors(uex)
@@ -197,9 +207,10 @@ def main():
     try:
         from phifem_tpu.utils.io import write_vti
 
+        # degree >= 2 fields live on the degree-refined NODE grid
         write_vti(
             os.path.join(out, "solution.vti"),
-            g,
+            getattr(s, "_node_grid", g),
             point_data={"u": s.u_lat},
         )
     except Exception as e:  # VTI writer is best-effort in the demo

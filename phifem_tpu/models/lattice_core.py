@@ -140,6 +140,182 @@ def cell_dofs_of(lattice_shape: Tuple[int, int, int], cells: np.ndarray):
     return out
 
 
+def hex_offsets(degree: int):
+    """Local node offsets of the Q_degree tensor-Lagrange hex: tuples
+    (ox, oy, oz) in {0..degree}^3, x fastest — reduces to :data:`HEX_OFFS`
+    at degree 1."""
+    r = range(degree + 1)
+    return tuple((ox, oy, oz) for oz in r for oy in r for ox in r)
+
+
+def lagrange1d_coeffs(degree: int) -> np.ndarray:
+    """(degree+1, degree+1) ascending poly coefficients of the 1D Lagrange
+    basis at equispaced nodes k/degree on [0, 1] (row i = L_i)."""
+    nodes = np.arange(degree + 1) / max(degree, 1)
+    V = np.vander(nodes, degree + 1, increasing=True)
+    return np.linalg.inv(V).T
+
+
+def hexd_shape(xi: np.ndarray, degree: int):
+    """Values (nloc,), gradients (nloc, 3) and PURE second derivatives
+    (nloc, 3) (d2/dx_k^2 — enough for the Laplacian; mixed seconds are not
+    needed) of the Q_degree basis at xi in [0,1]^3, node order
+    :func:`hex_offsets`."""
+    C = lagrange1d_coeffs(degree)
+
+    def ev(t):
+        vals = np.array([np.polyval(C[i][::-1], t) for i in range(degree + 1)])
+        d1 = np.array(
+            [np.polyval(np.polyder(C[i][::-1]), t) for i in range(degree + 1)]
+        )
+        if degree >= 2:
+            d2 = np.array(
+                [
+                    np.polyval(np.polyder(C[i][::-1], 2), t)
+                    for i in range(degree + 1)
+                ]
+            )
+        else:
+            d2 = np.zeros(degree + 1)
+        return vals, d1, d2
+
+    fx, dfx, ddx = ev(xi[0])
+    fy, dfy, ddy = ev(xi[1])
+    fz, dfz, ddz = ev(xi[2])
+    offs = hex_offsets(degree)
+    nloc = len(offs)
+    vals = np.empty(nloc)
+    grads = np.empty((nloc, 3))
+    sec = np.empty((nloc, 3))
+    for i, (ox, oy, oz) in enumerate(offs):
+        vals[i] = fx[ox] * fy[oy] * fz[oz]
+        grads[i] = (
+            dfx[ox] * fy[oy] * fz[oz],
+            fx[ox] * dfy[oy] * fz[oz],
+            fx[ox] * fy[oy] * dfz[oz],
+        )
+        sec[i] = (
+            ddx[ox] * fy[oy] * fz[oz],
+            fx[ox] * ddy[oy] * fz[oz],
+            fx[ox] * fy[oy] * ddz[oz],
+        )
+    return vals, grads, sec
+
+
+def hexd_quadrature(npd: int, degree: int):
+    """npd^3 tensor Gauss rule tabulated on the Q_degree hex basis:
+    (nq,) weights, (nq, nloc) values, (nq, nloc, 3) ref gradients,
+    (nq, nloc, 3) pure ref second derivatives."""
+    g, w = gauss01(npd)
+    W, V, G, S = [], [], [], []
+    for gz, wz in zip(g, w):
+        for gy, wy in zip(g, w):
+            for gx, wx in zip(g, w):
+                vals, grads, sec = hexd_shape(np.array([gx, gy, gz]), degree)
+                W.append(wx * wy * wz)
+                V.append(vals)
+                G.append(grads)
+                S.append(sec)
+    return np.asarray(W), np.asarray(V), np.asarray(G), np.asarray(S)
+
+
+def faced_quadrature(ax_lat: int, at_upper: bool, npd: int, degree: int):
+    """Q_degree version of :func:`face_quadrature`: quadrature on the hex
+    face normal to lattice axis ``ax_lat`` (0=z, 1=y, 2=x) — (nq,) weights,
+    (nq, nloc) values, (nq, nloc, 3) ref gradients, normal coord index."""
+    k_phys = {0: 2, 1: 1, 2: 0}[ax_lat]
+    g, w = gauss01(npd)
+    W, V, G = [], [], []
+    for ga, wa in zip(g, w):
+        for gb, wb in zip(g, w):
+            xi = np.empty(3)
+            xi[k_phys] = 1.0 if at_upper else 0.0
+            t = [i for i in range(3) if i != k_phys]
+            xi[t[0]], xi[t[1]] = ga, gb
+            vals, grads, _ = hexd_shape(xi, degree)
+            W.append(wa * wb)
+            V.append(vals)
+            G.append(grads)
+    return np.asarray(W), np.asarray(V), np.asarray(G), k_phys
+
+
+def cell_nodes_of(
+    node_shape: Tuple[int, int, int], cells: np.ndarray, degree: int
+):
+    """(ne, (degree+1)^3) int flat NODE ids of hex cells (ne, 3) =
+    (iz, iy, ix) on the degree-refined node lattice
+    ``(degree*nz+1, degree*ny+1, degree*nx+1)`` — reduces to
+    :func:`cell_dofs_of` at degree 1."""
+    _, Rn, Cn = node_shape
+    offs = hex_offsets(degree)
+    out = np.empty((cells.shape[0], len(offs)), np.int64)
+    for i, (ox, oy, oz) in enumerate(offs):
+        out[:, i] = (
+            (degree * cells[:, 0] + oz) * Rn + degree * cells[:, 1] + oy
+        ) * Cn + degree * cells[:, 2] + ox
+    return out
+
+
+def lattice_l2_h1_errors_d(
+    grid,
+    region_mask: np.ndarray,
+    u_nodes: Array,
+    exact: Callable,
+    degree: int,
+    npd: Optional[int] = None,
+) -> Dict[str, float]:
+    """Relative L2/H10 errors of a degree-d lattice field vs a callable —
+    the Q_degree generalization of :func:`lattice_l2_h1_errors` (dense
+    masked cellwise Gauss sums; per-node strided slices instead of corner
+    slices)."""
+    dt = float_dtype()
+    hx, hy, hz = grid.spacing
+    d = degree
+    npd = npd if npd is not None else d + 1
+    W, V, G, _ = hexd_quadrature(npd, d)
+    Pq = hex_quadrature_points(npd)
+    offs = hex_offsets(d)
+    mask = jnp.asarray(region_mask.astype(np.float64), dt)
+    nz, ny, nx = mask.shape
+    (x0_, y0_, z0_), _b = grid.bbox
+    z0 = z0_ + hz * jnp.arange(nz, dtype=dt)[:, None, None]
+    y0 = y0_ + hy * jnp.arange(ny, dtype=dt)[None, :, None]
+    x0 = x0_ + hx * jnp.arange(nx, dtype=dt)[None, None, :]
+    x0 = jnp.broadcast_to(x0, (nz, ny, nx))
+    y0 = jnp.broadcast_to(y0, (nz, ny, nx))
+    z0 = jnp.broadcast_to(z0, (nz, ny, nx))
+    nodes = [
+        u_nodes[
+            oz : oz + d * nz : d, oy : oy + d * ny : d, ox : ox + d * nx : d
+        ]
+        for (ox, oy, oz) in offs
+    ]
+    num_l2 = den_l2 = num_h1 = den_h1 = jnp.asarray(0.0, dt)
+    for q in range(W.shape[0]):
+        wq3 = float(W[q])
+        Nq = jnp.asarray(V[q], dt)
+        Gd = jnp.asarray(G[q], dt) / np.array([hx, hy, hz])[None, :]
+        uq = sum(Nq[i] * nodes[i] for i in range(len(offs)))
+        px = x0 + float(Pq[q, 0]) * hx
+        py = y0 + float(Pq[q, 1]) * hy
+        pz = z0 + float(Pq[q, 2]) * hz
+        pe = jnp.stack([px, py, pz], axis=-1)
+        ue = exact(pe)
+        ge = jax.vmap(
+            jax.vmap(jax.vmap(jax.grad(lambda p: exact(p[None])[0])))
+        )(pe)
+        num_l2 += wq3 * jnp.sum(mask * (uq - ue) ** 2)
+        den_l2 += wq3 * jnp.sum(mask * ue**2)
+        for k in range(3):
+            gk = sum(Gd[i, k] * nodes[i] for i in range(len(offs)))
+            num_h1 += wq3 * jnp.sum(mask * (gk - ge[..., k]) ** 2)
+            den_h1 += wq3 * jnp.sum(mask * ge[..., k] ** 2)
+    return {
+        "l2": float(jnp.sqrt(num_l2 / den_l2)),
+        "h10": float(jnp.sqrt(num_h1 / den_h1)),
+    }
+
+
 def make_equilibrated_runner(
     matvec: Callable[[Dict[str, Array]], Dict[str, Array]],
     diag: Dict[str, Array],
@@ -329,6 +505,24 @@ def build_interface_block(
         if bl.size:
             ras.append(bl)
     return ids, A, ras
+
+
+def lattice_sparse_solve(blocks, b_concat: np.ndarray, active: np.ndarray):
+    """Host SuperLU direct solve of a lattice scheme's active-restricted
+    system — the 3D analogue of :func:`phifem_tpu.solvers._sparse_solve`
+    (the reference solves everything with PETSc LU/MUMPS,
+    `demo/weak-dirichlet/flower/main.py:45`).  ``blocks`` are the FULL
+    operator's entity batches in global flat ids (same format as
+    :func:`build_interface_block`); inactive DoFs get x = 0 (the identity-
+    row convention of :func:`make_equilibrated_runner`).  No null-pivot
+    handling — exactly singular systems stay on deflated Krylov."""
+    from scipy.sparse.linalg import splu
+
+    total = active.shape[0]
+    ids, A, _ = build_interface_block(blocks, total, active)
+    x = np.zeros(total)
+    x[ids] = splu(A.tocsc()).solve(b_concat[ids])
+    return x
 
 
 def make_interface_apply(

@@ -2,7 +2,9 @@
 
 The z-axis extension of S1 (:mod:`phifem_tpu.models.weak_dirichlet`; the
 reference, `demo/weak-dirichlet/flower/main.py:102-154`, is 2D-only).
-Same variational scheme on Q1 hexahedra:
+Same variational scheme on Q_degree tensor-Lagrange hexahedra (degree
+1-3; the reference parametrizes S1 over degrees 1-3 too,
+`tests/test_compute_meshtags.py`):
 
   a(u,p; v,q) = int_{dx(1,2)} grad u . grad v
               - int_{Gamma_h} (grad u . n) v            (one-sided faces)
@@ -13,8 +15,10 @@ Same variational scheme on Q1 hexahedra:
               + pen/h^2 int_{dx(2)} u_D (v - phi q / h)
 
 (The 2D cell-stabilization h^2 (Δu)(Δv) vanishes identically for Q1 —
-trilinear functions have zero Laplacian cellwise, exactly as P1 does in
-2D — so it is dropped rather than assembled as zeros.)
+trilinear functions have zero PURE second derivatives cellwise, exactly
+as P1 does in 2D — so it is dropped at degree 1 and assembled from the
+tabulated second derivatives for degree >= 2, with the matching
+-stab h^2 (f, Δv) consistency RHS.)
 
 TPU-native structure (no generic FEM assembly in 3D): the bulk stiffness
 is a cell-masked uniform 8-node stencil (64 shifted multiply-adds); ghost
@@ -38,15 +42,19 @@ from ..grid3 import Grid3
 from ..solvers import SolveResult
 from ..tagging3 import Tags3, compute_tags3
 from .lattice_core import (
-    HEX_OFFS as _HEX_OFFS,
     cached_equilibrated_solve,
     cell_dofs_of,
+    cell_nodes_of,
     face_quadrature as _face_tables,
+    faced_quadrature,
     float_dtype as _float_dtype,
     gauss01 as _gauss01,
+    hex_offsets,
     hex_quadrature as _hex_tables,
     hex_shape as _shape,
+    hexd_quadrature,
     lattice_l2_h1_errors,
+    lattice_l2_h1_errors_d,
 )
 
 Array = jnp.ndarray
@@ -59,6 +67,7 @@ class WeakDirichletPoisson3:
     grid: Grid3
     pen_coef: float = 1.0
     stab_coef: float = 1.0
+    degree: int = 1  # Q_degree tensor-Lagrange hexes (1, 2 or 3)
 
     # ------------------------------------------------------------ setup
     def setup(
@@ -70,11 +79,24 @@ class WeakDirichletPoisson3:
         g = self.grid
         dt = _float_dtype()
         self.tags: Tags3 = compute_tags3(g, levelset)
-        self.phi_lat = g.eval_at_vertices(levelset, dt)
-        self.f_lat = g.eval_at_vertices(f, dt)
+        # DoF nodes of the Q_d space = vertex lattice of the d-refined
+        # grid; phi/f/u_D are interpolated at the NODES (phi_h is the
+        # degree-d levelset, the reference's degree-2 phi_h for S3 at
+        # `demo/neumann/square/main.py:49-51`)
+        ng = (
+            g
+            if self.degree == 1
+            else Grid3(
+                self.degree * g.nx, self.degree * g.ny, self.degree * g.nz,
+                g.bbox,
+            )
+        )
+        self._node_grid = ng
+        self.phi_lat = ng.eval_at_vertices(levelset, dt)
+        self.f_lat = ng.eval_at_vertices(f, dt)
         if u_D is None:
             u_D = lambda x: jnp.zeros(x.shape[:-1])
-        self.uD_lat = g.eval_at_vertices(u_D, dt)
+        self.uD_lat = ng.eval_at_vertices(u_D, dt)
         return self
 
     # ------------------------------------------------- assembly (host prep)
@@ -86,14 +108,21 @@ class WeakDirichletPoisson3:
         self.h = h
         vol = hx * hy * hz
         pen, stab = self.pen_coef, self.stab_coef
-        D, R, C = g.lattice_shape
-        self._DRC = (D, R, C)
+        d = self.degree
+        D, R, C = self._node_grid.lattice_shape  # NODE lattice (= vertex
+        self._DRC = (D, R, C)                    # lattice at degree 1)
         hs = np.array([hx, hy, hz])
 
         from ..ops.lattice3 import hex_element_matrix
 
         # bulk stiffness stencil + region mask (cells 1, 2)
-        self.A8 = jnp.asarray(hex_element_matrix(hx, hy, hz), dt)
+        if d == 1:
+            Abulk = hex_element_matrix(hx, hy, hz)
+        else:
+            W1, V1, G1, _ = hexd_quadrature(d + 1, d)
+            Gs = G1 / hs[None, None, :]
+            Abulk = vol * np.einsum("q,qik,qjk->ij", W1, Gs, Gs)
+        self.A8 = jnp.asarray(Abulk, dt)  # (nloc, nloc); name from Q1
         self.bulk_mask = jnp.asarray(
             self.tags.region_mask((1, 2)).astype(np.float64), dt
         )
@@ -101,13 +130,26 @@ class WeakDirichletPoisson3:
         # ---- cut-cell penalty: data-dependent blocks
         cells = self.tags.cut_cells()  # (ne, 3) iz, iy, ix
         self.cut_dofs = jnp.asarray(self._cell_dofs(cells), jnp.int32)
-        W, V, _ = _hex_tables(3)  # phi^2 * N_i * N_j: degree 4 per dim
+        # phi^2 * N_i * N_j: degree 4d per dim -> (2d+1)-pt Gauss exact
+        if d == 1:
+            W, V, _ = _hex_tables(3)
+            Lap = None
+        else:
+            W, V, _G, S = hexd_quadrature(2 * d + 1, d)
+            Lap = S[:, :, 0] / hx**2 + S[:, :, 1] / hy**2 + S[:, :, 2] / hz**2
         Vt = jnp.asarray(V, dt)
         Wt = jnp.asarray(W, dt)
-        phi_n = jnp.asarray(self.phi_lat).reshape(-1)[self.cut_dofs]  # (ne, 8)
+        phi_n = jnp.asarray(self.phi_lat).reshape(-1)[self.cut_dofs]  # (ne, nloc)
         phi_q = phi_n @ Vt.T  # (ne, nq)
-        # E_uu is uniform: pen/h^2 * mass
+        # E_uu is uniform: pen/h^2 * mass (+ the h^2 (Lap u)(Lap v) cell
+        # stabilization for d >= 2 — identically zero for Q1/P1, see the
+        # module docstring; 2D twin: s1_forms' cell_stab)
         self.E_uu = (pen / h**2) * vol * jnp.einsum("q,qi,qj->ij", Wt, Vt, Vt)
+        if Lap is not None:
+            Lt = jnp.asarray(Lap, dt)
+            self.E_uu = self.E_uu + stab * h**2 * vol * jnp.einsum(
+                "q,qi,qj->ij", Wt, Lt, Lt
+            )
         self.E_up = (-pen / h**3) * vol * jnp.einsum(
             "nq,q,qi,qj->nij", phi_q, Wt, Vt, Vt
         )
@@ -115,14 +157,19 @@ class WeakDirichletPoisson3:
             "nq,q,qi,qj->nij", phi_q * phi_q, Wt, Vt, Vt
         )
 
-        # ---- ghost faces: static (16, 16) per lattice axis
+        # ---- ghost faces: static (2*nloc, 2*nloc) per lattice axis
         self.ghost = []
         for ax in range(3):
             faces = self.tags.ghost_faces[ax]
             if faces.shape[0] == 0:
                 continue
-            Wf, V0, G0, k = _face_tables(ax, at_upper=True)
-            _, V1, G1, _ = _face_tables(ax, at_upper=False)
+            if d == 1:
+                Wf, V0, G0, k = _face_tables(ax, at_upper=True)
+                _, V1f, G1f, _ = _face_tables(ax, at_upper=False)
+            else:
+                Wf, V0, G0, k = faced_quadrature(ax, True, d + 1, d)
+                _, V1f, G1f, _ = faced_quadrature(ax, False, d + 1, d)
+            G1 = G1f
             area = vol / hs[k]
             dn0 = G0[:, :, k] / hs[k]  # (nq, 8) d/dx_k from the lower cell
             dn1 = G1[:, :, k] / hs[k]
@@ -137,7 +184,8 @@ class WeakDirichletPoisson3:
                 (jnp.asarray(dofs, jnp.int32), jnp.asarray(Eg, dt))
             )
 
-        # ---- Gamma_h one-sided boundary flux: static (8, 8) per (axis, sign)
+        # ---- Gamma_h one-sided boundary flux: static (nloc, nloc) per
+        # (axis, sign)
         self.bdry = []
         self.bdry_meta = []  # (inside cells, axis, sign) for measures
         for ax in range(3):
@@ -145,7 +193,10 @@ class WeakDirichletPoisson3:
                 if faces.shape[0] == 0:
                     continue
                 # the inside cell's face: upper face for outward +e_k
-                Wf, Vf, Gf, k = _face_tables(ax, at_upper=(sign > 0))
+                if d == 1:
+                    Wf, Vf, Gf, k = _face_tables(ax, at_upper=(sign > 0))
+                else:
+                    Wf, Vf, Gf, k = faced_quadrature(ax, sign > 0, d + 1, d)
                 area = vol / hs[k]
                 dn = sign * Gf[:, :, k] / hs[k]  # outward-normal derivative
                 Eb = -area * np.einsum("q,qi,qj->ij", Wf, Vf, dn)
@@ -158,15 +209,23 @@ class WeakDirichletPoisson3:
                 self.bdry_meta.append((faces, ax, sign, area))
 
         # ---- RHS: masked bulk mass conv + penalty terms on cut cells
-        from ..ops.lattice3 import vertex_stencil_weights3
-
-        M8 = hex_element_matrix(hx, hy, hz, stiffness=0.0, mass=1.0)
+        if d == 1:
+            M8 = hex_element_matrix(hx, hy, hz, stiffness=0.0, mass=1.0)
+        else:
+            M8 = vol * np.einsum("q,qi,qj->ij", W1, V1, V1)
         b_u = self._masked_stencil_apply(
             jnp.asarray(self.f_lat), jnp.asarray(M8, dt), self.bulk_mask
         )
         uD_n = jnp.asarray(self.uD_lat).reshape(-1)[self.cut_dofs]
         uD_q = uD_n @ Vt.T  # (ne, nq)
         r_u = (pen / h**2) * vol * jnp.einsum("nq,q,qi->ni", uD_q, Wt, Vt)
+        if Lap is not None:
+            # -stab h^2 (f, Lap v) dx(2) — the cell-stab consistency term
+            # (2D twin: s1_forms' rhs_stab)
+            f_q = jnp.asarray(self.f_lat).reshape(-1)[self.cut_dofs] @ Vt.T
+            r_u = r_u - stab * h**2 * vol * jnp.einsum(
+                "nq,q,qi->ni", f_q, Wt, Lt
+            )
         r_p = (-pen / h**3) * vol * jnp.einsum(
             "nq,q,qi->ni", uD_q * phi_q, Wt, Vt
         )
@@ -202,33 +261,48 @@ class WeakDirichletPoisson3:
         return self
 
     def _cell_dofs(self, cells: np.ndarray) -> np.ndarray:
-        """(ne, 8) int flat vertex indices of cells (ne, 3) = (iz, iy, ix)."""
-        return cell_dofs_of(self.grid.lattice_shape, cells)
+        """(ne, nloc) int flat NODE indices of cells (ne, 3) = (iz, iy, ix)
+        on the degree-refined node lattice."""
+        if self.degree == 1:
+            return cell_dofs_of(self.grid.lattice_shape, cells)
+        return cell_nodes_of(
+            self._node_grid.lattice_shape, cells, self.degree
+        )
 
     # --------------------------------------------- lattice stencil pieces
     def _masked_stencil_apply(self, X: Array, A8: Array, mask: Array) -> Array:
-        """y[v_i] += mask_cell * sum_j A8[i,j] x[v_j] over all cells."""
+        """y[n_i] += mask_cell * sum_j A8[i,j] x[n_j] over all cells —
+        stride-``degree`` shifted slices on the node lattice (corner
+        slices at degree 1)."""
         nz, ny, nx = mask.shape
+        d = self.degree
+        offs = hex_offsets(d)
+        nloc = len(offs)
         Y = jnp.zeros_like(X)
         xl = [
-            X[dz : dz + nz, dy : dy + ny, dx : dx + nx]
-            for (dx, dy, dz) in _HEX_OFFS
+            X[oz : oz + d * nz : d, oy : oy + d * ny : d, ox : ox + d * nx : d]
+            for (ox, oy, oz) in offs
         ]
-        for i, (dxi, dyi, dzi) in enumerate(_HEX_OFFS):
-            zi = sum(A8[i, j] * xl[j] for j in range(8))
-            Y = Y.at[dzi : dzi + nz, dyi : dyi + ny, dxi : dxi + nx].add(
-                mask * zi
-            )
+        for i, (oxi, oyi, ozi) in enumerate(offs):
+            zi = sum(A8[i, j] * xl[j] for j in range(nloc))
+            Y = Y.at[
+                ozi : ozi + d * nz : d,
+                oyi : oyi + d * ny : d,
+                oxi : oxi + d * nx : d,
+            ].add(mask * zi)
         return Y
 
     def _masked_stencil_diag(self, A8: Array, mask: Array) -> Array:
         nz, ny, nx = mask.shape
         D, R, C = self._DRC
+        d = self.degree
         Dg = jnp.zeros((D, R, C), mask.dtype)
-        for i, (dxi, dyi, dzi) in enumerate(_HEX_OFFS):
-            Dg = Dg.at[dzi : dzi + nz, dyi : dyi + ny, dxi : dxi + nx].add(
-                mask * A8[i, i]
-            )
+        for i, (oxi, oyi, ozi) in enumerate(hex_offsets(d)):
+            Dg = Dg.at[
+                ozi : ozi + d * nz : d,
+                oyi : oyi + d * ny : d,
+                oxi : oxi + d * nx : d,
+            ].add(mask * A8[i, i])
         return Dg
 
     # ------------------------------------------------------------- matvec
@@ -258,6 +332,35 @@ class WeakDirichletPoisson3:
             )
         return {"u": y_u, "p": y_p}
 
+    def _all_term_blocks(self):
+        """Every operator term as (row_dofs, col_dofs, mats) entity
+        batches in global flat ids (u in [0, N), p in [N, 2N)) — the FULL
+        system, for the sparse direct path (`_interface_csr` builds only
+        the data-dependent subset)."""
+        D, R, C = self._DRC
+        N = D * R * C
+        cut = np.asarray(self.cut_dofs)
+        nloc = cut.shape[1]
+        ne = cut.shape[0]
+        pen_dofs = np.concatenate([cut, N + cut], axis=1)
+        blk = np.zeros((ne, 2 * nloc, 2 * nloc))
+        blk[:, :nloc, :nloc] = np.asarray(self.E_uu)[None]
+        Eup = np.asarray(self.E_up)
+        blk[:, :nloc, nloc:] = Eup
+        blk[:, nloc:, :nloc] = np.swapaxes(Eup, 1, 2)
+        blk[:, nloc:, nloc:] = np.asarray(self.E_pp)
+        blocks = [(pen_dofs, pen_dofs, blk)]
+        for dofs, Eg in self.ghost:
+            d = np.asarray(dofs)
+            blocks.append((d, d, np.asarray(Eg)))
+        for dofs, Eb in self.bdry:
+            d = np.asarray(dofs)
+            blocks.append((d, d, np.asarray(Eb)))
+        cells = np.argwhere(self.tags.region_mask((1, 2))).astype(np.int32)
+        cdofs = self._cell_dofs(cells)
+        blocks.append((cdofs, cdofs, np.asarray(self.A8)))
+        return blocks
+
     # -------------------------------------------------------------- solve
     def solve(
         self,
@@ -267,7 +370,36 @@ class WeakDirichletPoisson3:
         precond=None,
     ) -> SolveResult:
         """Equilibrated Krylov with identity on inactive DoFs — the 3D
-        analogue of solvers.solve's jitted runner (lattice_core)."""
+        analogue of solvers.solve's jitted runner (lattice_core).
+        ``method="sparse"`` runs a host SuperLU direct solve instead (the
+        MUMPS-LU analogue — the robust path for degree >= 2 penalized
+        systems, whose plain-Jacobi Krylov conditioning is poor)."""
+        if method == "sparse":
+            from .lattice_core import lattice_sparse_solve
+
+            D, R, C = self._DRC
+            N = D * R * C
+            dt = _float_dtype()
+            act = np.concatenate(
+                [np.asarray(self.active["u"]), np.asarray(self.active["p"])]
+            )
+            bf = np.concatenate(
+                [np.asarray(self.b["u"]), np.asarray(self.b["p"])]
+            )
+            xf = lattice_sparse_solve(self._all_term_blocks(), bf, act)
+            x = {"u": jnp.asarray(xf[:N], dt), "p": jnp.asarray(xf[N:], dt)}
+            Ax = self.matvec(x)
+            r = np.concatenate(
+                [np.asarray(Ax["u"]), np.asarray(Ax["p"])]
+            ) - bf
+            r[~act] = 0.0
+            nb = float(np.linalg.norm(bf[act]))
+            rel = float(np.linalg.norm(r)) / max(nb, 1e-300)
+            self.u_lat = x["u"].reshape(self._DRC)
+            self.result = SolveResult(
+                x=x, residual=rel, iterations=0, converged=rel <= 1e-8
+            )
+            return self.result
         x, rel, it = cached_equilibrated_solve(
             self, method, tol, maxiter, precond
         )
@@ -302,16 +434,17 @@ class WeakDirichletPoisson3:
             vals.append(m)
             entity_dofs.extend(dofs)
 
-        pen_dofs = np.concatenate([cut, N + cut], axis=1)  # (ne, 16)
+        nloc = cut.shape[1]
+        pen_dofs = np.concatenate([cut, N + cut], axis=1)  # (ne, 2*nloc)
         ne = cut.shape[0]
         Euu = np.asarray(self.E_uu)
         Eup = np.asarray(self.E_up)
         Epp = np.asarray(self.E_pp)
-        blk = np.zeros((ne, 16, 16))
-        blk[:, :8, :8] = Euu[None]
-        blk[:, :8, 8:] = Eup
-        blk[:, 8:, :8] = np.swapaxes(Eup, 1, 2)
-        blk[:, 8:, 8:] = Epp
+        blk = np.zeros((ne, 2 * nloc, 2 * nloc))
+        blk[:, :nloc, :nloc] = Euu[None]
+        blk[:, :nloc, nloc:] = Eup
+        blk[:, nloc:, :nloc] = np.swapaxes(Eup, 1, 2)
+        blk[:, nloc:, nloc:] = Epp
         add_block(pen_dofs, blk)
         for dofs, Eg in self.ghost:
             add_block(np.asarray(dofs), np.asarray(Eg))
@@ -372,24 +505,35 @@ class WeakDirichletPoisson3:
         the Laplacian cycle: their penalty-scaled rows diverge under
         Laplacian-sized corrections, see mg.LatticeBulkVCycle; the block
         solve is dense-inverse <= dense_max DoFs, else inner BiCGStab on
-        the device-resident ELL band with RAS block preconditioning)."""
+        the device-resident ELL band with RAS block preconditioning).
+
+        For degree >= 2 the bulk cycle is LOW-ORDER-REFINED (LOR): the Q1
+        lattice MG on the degree-refined NODE grid, which is spectrally
+        equivalent to the Q_degree Laplacian (classic LOR/"FEM-SEM"
+        equivalence) — no high-order smoother needed."""
         from ..ops.lattice3 import build_lattice3_mg
 
-        g = self.grid
+        ng = self._node_grid
+        d = self.degree
         D, R, C = self._DRC
         N = D * R * C
-        # u bulk vertices: touched by region-1 cells only (no cut cell)
+        # u bulk nodes: touched by region-1 cells only (no cut cell)
         in1 = self.tags.cell_tags == 1
         cut = self.tags.cell_tags == 2
         touch1 = np.zeros((D, R, C), bool)
         touch_cut = np.zeros((D, R, C), bool)
         nz, ny, nx = in1.shape
-        for (dx, dy, dz) in _HEX_OFFS:
-            touch1[dz : dz + nz, dy : dy + ny, dx : dx + nx] |= in1
-            touch_cut[dz : dz + nz, dy : dy + ny, dx : dx + nx] |= cut
+        for (ox, oy, oz) in hex_offsets(d):
+            touch1[
+                oz : oz + d * nz : d, oy : oy + d * ny : d, ox : ox + d * nx : d
+            ] |= in1
+            touch_cut[
+                oz : oz + d * nz : d, oy : oy + d * ny : d, ox : ox + d * nx : d
+            ] |= cut
         bulk = touch1 & ~touch_cut
         mg = build_lattice3_mg(
-            g.nx, g.ny, g.nz, g.spacing, min_n=min_n, dtype=dtype, mask=bulk
+            ng.nx, ng.ny, ng.nz, ng.spacing, min_n=min_n, dtype=dtype,
+            mask=bulk,
         )
         bulk_j = jnp.asarray(bulk)
         inv_diag = jax.tree.map(lambda d: 1.0 / d, self.diag)
@@ -510,8 +654,13 @@ class WeakDirichletPoisson3:
 
     # ------------------------------------------------------------- errors
     def l2_h1_errors(self, exact: Callable, region=(1, 2)) -> Dict[str, float]:
-        """Relative L2/H10 errors of u_h vs a callable, by 2x2x2 cellwise
+        """Relative L2/H10 errors of u_h vs a callable, by cellwise Gauss
         quadrature over the region cells (lattice_core)."""
-        return lattice_l2_h1_errors(
-            self.grid, self.tags.region_mask(region), self.u_lat, exact
+        if self.degree == 1:
+            return lattice_l2_h1_errors(
+                self.grid, self.tags.region_mask(region), self.u_lat, exact
+            )
+        return lattice_l2_h1_errors_d(
+            self.grid, self.tags.region_mask(region), self.u_lat, exact,
+            self.degree,
         )

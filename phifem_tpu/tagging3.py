@@ -23,6 +23,7 @@ Faces are classified per axis orientation from the cell-tag lattice:
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Callable, Tuple
 
 import jax
@@ -127,6 +128,20 @@ def compute_tags3(grid: Grid3, levelset: Callable) -> Tags3:
     ct = np.asarray(_cell_tags_from_phi(phi_lat))  # the single fetch
 
     in_h = (ct == 1) | (ct == 2)  # Omega_h cells
+    n_border = int(
+        in_h[0].sum() + in_h[-1].sum()
+        + in_h[:, 0].sum() + in_h[:, -1].sum()
+        + in_h[:, :, 0].sum() + in_h[:, :, -1].sum()
+    )
+    if n_border > 0:
+        warnings.warn(
+            f"{n_border} Omega_h cell(s) touch the background-box boundary:"
+            " the box must contain Omega_h strictly (phi-FEM containment"
+            " assumption) or the Gamma_h face set is incomplete there and"
+            " the scheme loses consistency. Enlarge the box or refine.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     cut = ct == 2
     out = ct == 3
 
