@@ -373,7 +373,14 @@ class InterfaceElasticity(SchemeBase):
         return tuple(modes)
 
     def solve(self, method: str = "bicgstab", tol: float = 1e-10, **kw) -> SolveResult:
-        if method != "dense" and "deflate" not in kw:
+        # Auto-deflate the collective rigid modes for ITERATIVE methods
+        # only: they are near-null directions (smallest singular values
+        # ~3e-5 at level 0 — ill-conditioned, not exactly singular) that
+        # stall Krylov, but direct LU handles them fine and the bordered
+        # constraint Q'x = 0 would DISTORT the solution (measured: L2
+        # 0.887 vs 0.165 at level 0).  The reference's MUMPS null-pivot
+        # flags are likewise a safety net, not an active constraint here.
+        if method not in ("dense", "sparse") and "deflate" not in kw:
             kw["deflate"] = self.rigid_modes()
         res = solve(self.op, self.b, bcs=self.bcs, method=method, tol=tol, **kw)
         self.result = res

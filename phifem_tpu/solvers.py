@@ -407,7 +407,7 @@ def solve(
         b = lift_rhs(op, b, bcs, active)
         if method == "dense":
             return _dense_solve(op, b, bcs, active)
-        return _sparse_solve(op, b, bcs, active)
+        return _sparse_solve(op, b, bcs, active, deflate)
 
     if maxiter is None:
         maxiter = 25 * int(np.sqrt(op.system.num_dofs)) + 1000
@@ -718,7 +718,7 @@ def solve_ir(
     return SolveResult(x=x, residual=rel, iterations=it, converged=rel <= tol)
 
 
-def _sparse_solve(op: Operator, b, bcs, active) -> SolveResult:
+def _sparse_solve(op: Operator, b, bcs, active, deflate=None) -> SolveResult:
     """Host sparse direct LU (SuperLU) of the reduced system — the
     reference's PETSc/MUMPS-LU analogue (``demo/weak-dirichlet/flower/
     main.py:45``: every reference solve is LU) at scales where the dense
@@ -728,9 +728,17 @@ def _sparse_solve(op: Operator, b, bcs, active) -> SolveResult:
     identities) so repeated RHS solves re-use it — the production pattern
     of the reference's convergence loops.
 
-    Unlike ``method="dense"`` there is no least-squares null-pivot
-    handling: EXACTLY singular systems (e.g. S5's collective rigid modes)
-    should use ``method="dense"`` or the deflated Krylov path."""
+    ``deflate`` (pytree vectors spanning a KNOWN exact null space, e.g.
+    S5's collective rigid modes) switches to the BORDERED system
+
+        [A  Q] [x]     [b]
+        [Q'  0] [lam] = [0]
+
+    — the sparse-direct analogue of MUMPS null-pivot handling (icntl
+    24/25, ``demo/interface-elasticity/main.py:251-254``): x is the
+    zero-null-gauge solution (Q' x = 0) and Q lam absorbs the RHS's
+    inconsistent component; the reported residual is the DEFLATED one,
+    matching the deflated-Krylov path's semantics."""
     import scipy.sparse as sp
     from scipy.sparse.linalg import splu
 
@@ -745,7 +753,17 @@ def _sparse_solve(op: Operator, b, bcs, active) -> SolveResult:
         ).reshape(-1)
         bv[sl] = np.asarray(b[name]).reshape(-1)
 
-    key = (op.data_version, tuple(id(bc) for bc in bcs))
+    Q = None
+    if deflate:
+        Q = np.zeros((n, len(deflate)))
+        for j, m in enumerate(deflate):
+            for name, s in op.system.fields.items():
+                sl = slice(off[name], off[name] + s.num_dofs)
+                Q[sl, j] = np.asarray(m[name]).reshape(-1)
+        Q[~act] = 0.0
+        Q, _ = np.linalg.qr(Q)
+
+    key = (op.data_version, tuple(id(bc) for bc in bcs), len(deflate or ()))
     cached = getattr(op, "_splu_cache", None)
     if cached is None or cached[0] != key:
         sel = {
@@ -760,13 +778,27 @@ def _sparse_solve(op: Operator, b, bcs, active) -> SolveResult:
         cols = np.concatenate([A.col[keep], inact])
         vals = np.concatenate([A.data[keep], np.ones(len(inact))])
         Ared = sp.csc_matrix((vals, (rows, cols)), shape=(n, n))
-        lu = splu(Ared)
+        Afac = Ared
+        if Q is not None:
+            k = Q.shape[1]
+            Afac = sp.bmat(
+                [[Ared, sp.csc_matrix(Q)], [sp.csc_matrix(Q.T), None]],
+                format="csc",
+            )
+        lu = splu(Afac)
         # keep the bc objects referenced so the id()-based key stays unique
         cached = op._splu_cache = (key, lu, Ared, tuple(bcs))
     _, lu, Ared = cached[:3]
 
-    xv = lu.solve(bv)
-    r = np.linalg.norm(Ared @ xv - bv) / max(np.linalg.norm(bv), 1e-300)
+    if Q is None:
+        xv = lu.solve(bv)
+        r = np.linalg.norm(Ared @ xv - bv) / max(np.linalg.norm(bv), 1e-300)
+    else:
+        xv = lu.solve(np.concatenate([bv, np.zeros(Q.shape[1])]))[:n]
+        rv = bv - Ared @ xv
+        rv -= Q @ (Q.T @ rv)  # deflated residual (Krylov-path semantics)
+        bd = bv - Q @ (Q.T @ bv)
+        r = np.linalg.norm(rv) / max(np.linalg.norm(bd), 1e-300)
     x = {}
     for name, s in op.system.fields.items():
         sl = slice(off[name], off[name] + s.num_dofs)

@@ -35,6 +35,10 @@ def main():
     p.add_argument("--tol", type=float, default=1e-10)
     p.add_argument("--maxiter", type=int, default=4000)
     p.add_argument("--initial-h", type=float, default=0.2)
+    p.add_argument(
+        "--method", default="bicgstab",
+        choices=("bicgstab", "fgmres", "sparse"),
+    )
     a = p.parse_args()
 
     # param1.yaml geometry: [-1.5, 1.5]^2, initial mesh size 0.2 -> n=15
@@ -51,8 +55,17 @@ def main():
     t_setup = time.time() - t0
 
     t0 = time.time()
-    pc = s.lattice_preconditioner(coupled=a.coupled)
-    res = s.solve(tol=a.tol, maxiter=a.maxiter, precond=pc)
+    if a.method == "sparse":
+        # plain SuperLU (the reference's MUMPS-LU path) — the robust
+        # choice for the large levels, where flat-preconditioned BiCGStab
+        # breaks down before converging; reproduces the recorded level
+        # 0/1 errors to 6 digits
+        res = s.solve(method="sparse")
+    else:
+        pc = s.lattice_preconditioner(coupled=a.coupled)
+        res = s.solve(
+            method=a.method, tol=a.tol, maxiter=a.maxiter, precond=pc
+        )
     t_solve = time.time() - t0
 
     errs = s.l2_h1_errors(s.u_h, exact_solution, region=None)

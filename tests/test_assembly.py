@@ -253,3 +253,37 @@ def test_stencil_rhs_matches_generic():
         )
         dsq = np.abs(np.asarray(b_s["u"]) - np.asarray(b_g["u"])).max()
         assert dsq < 1e-13 * np.abs(np.asarray(b_g["u"])).max(), (ct, dsq)
+
+
+def test_sparse_solve_bordered_singular():
+    """``solve(method="sparse", deflate=...)`` handles an EXACTLY singular
+    system — pure-Neumann stiffness, constant null vector — through the
+    bordered SuperLU system [A Q; Q' 0] (the sparse analogue of the
+    reference's MUMPS null-pivot icntl 24/25; the dense path's lstsq).
+    The solution must match the dense minimum-norm one and carry the
+    zero-null gauge (zero mean)."""
+    g = pf.Grid(6, 5, BOX, "triangle")
+    sp = pf.Space.lagrange(g, 1)
+    sys = System({"u": sp})
+    op = assemble_operator(
+        sys, g,
+        cell_terms=[(CellTerm(stiffness, None, degree=2, uniform=True), {})],
+    )
+    # compatible RHS: int f = 0 (f odd around the box center)
+    f = pf.interpolate(lambda x: x[..., 0] - 1.0, sp)
+    M = assemble_operator(
+        sys, g, cell_terms=[(CellTerm(mass, None, degree=2, uniform=True), {})]
+    )
+    b = M.matvec({"u": f.data})
+    const = {"u": jnp.ones(sp.dof_shape)}
+    r_sp = solve(op, b, method="sparse", deflate=(const,))
+    r_de = solve(op, b, method="dense")
+    assert r_sp.residual < 1e-10, r_sp.residual
+    x_sp = np.asarray(r_sp.x["u"]).reshape(-1)
+    x_de = np.asarray(r_de.x["u"]).reshape(-1)
+    # zero-null gauge: zero component along the constant
+    assert abs(x_sp.sum()) < 1e-8 * np.linalg.norm(x_sp) * len(x_sp) ** 0.5
+    # same solution up to the constant gauge
+    d = x_sp - x_de
+    d -= d.mean()
+    assert np.linalg.norm(d) < 1e-8 * np.linalg.norm(x_de), np.linalg.norm(d)
