@@ -40,6 +40,7 @@ from .spaces import Function, Space, interpolate
 from .tagging import EntityTags, TagsMeasures, compute_tags_measures, tag_cells, tag_facets
 from .measures import BoundaryMeasure, FacetSideList
 from .umesh import UDiscreteLevelset, UMesh, USideList, USubmesh
+from .umesh3 import UDiscreteLevelset3, UMesh3
 from .uassembly import UFunction, USpace
 from .uassembly import interpolate as interpolate_u
 
@@ -60,6 +61,8 @@ __all__ = [
     "BoundaryMeasure",
     "FacetSideList",
     "UMesh",
+    "UMesh3",
+    "UDiscreteLevelset3",
     "UDiscreteLevelset",
     "USideList",
     "USubmesh",

@@ -287,7 +287,7 @@ class NeumannPoissonU(USchemeBase):
     ):
         self.tag(detection_levelset if detection_levelset is not None else levelset)
         V = USpace.lagrange(self.mesh, self.primal_degree)
-        Y = USpace.lagrange(self.mesh, self.vector_degree, (2,))
+        Y = USpace.lagrange(self.mesh, self.vector_degree, (self.mesh.dim,))
         Q = USpace.dg0(self.mesh)
         Vphi = USpace.lagrange(self.mesh, self.levelset_degree)
         self.V, self.Y, self.Q, self.Vphi = V, Y, Q, Vphi
@@ -365,6 +365,11 @@ class InterfaceElasticityU(USchemeBase):
     ):
         if self.mode != "bg":
             raise ValueError("S5 runs on the background mesh (reference bg mode)")
+        if self.mesh.dim != 2:
+            raise NotImplementedError(
+                "S5-U is 2D (plane strain); the structured "
+                "InterfaceElasticity3 covers 3D interface elasticity"
+            )
         self.tag(levelset)
         m = self.mesh
         U = USpace.lagrange(m, self.primal_degree, (2,))

@@ -105,11 +105,40 @@ def _quad_rule(degree: int) -> Tuple[np.ndarray, np.ndarray]:
     )
 
 
+@lru_cache(maxsize=None)
+def _tet_rule(degree: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Conical-product (collapsed Duffy) rule on the reference tetrahedron
+    conv{0, e1, e2, e3}: Gauss-Jacobi((1-x)^2) x Gauss-Jacobi((1-x)^1) x
+    Gauss-Legendre, exact to ``degree`` with all-positive weights summing to
+    the volume 1/6.  Simple, positive and degree-general — the tet twin of
+    the Dunavant triangle rules above."""
+    from scipy.special import roots_jacobi
+
+    n = max(1, degree // 2 + 1)  # 2n-1 >= degree per collapsed axis
+    x1, w1 = roots_jacobi(n, 2.0, 0.0)  # weight (1-x)^2 on [-1,1]
+    x2, w2 = roots_jacobi(n, 1.0, 0.0)
+    x3, w3 = np.polynomial.legendre.leggauss(n)
+    x1, x2, x3 = (x1 + 1) / 2, (x2 + 1) / 2, (x3 + 1) / 2
+    # [-1,1] -> [0,1] with the Jacobi weight (1-x)^a: extra factor 2^-(a+1)
+    w1, w2, w3 = w1 / 8.0, w2 / 4.0, w3 / 2.0
+    X1, X2, X3 = np.meshgrid(x1, x2, x3, indexing="ij")
+    W = (
+        w1[:, None, None] * w2[None, :, None] * w3[None, None, :]
+    ).reshape(-1)
+    u = X1.reshape(-1)
+    v = (X2 * (1 - X1)).reshape(-1)
+    w = (X3 * (1 - X1) * (1 - X2)).reshape(-1)
+    pts = np.stack([u, v, w], axis=-1)
+    return pts.astype(np.float64), W.astype(np.float64)
+
+
 def cell_rule(cell: str, degree: int) -> Tuple[np.ndarray, np.ndarray]:
-    """(points (n,2), weights (n,)) on the reference cell; weights include
-    the reference-cell area so physical weights are ``w * |det J|``."""
+    """(points (n,dim), weights (n,)) on the reference cell; weights include
+    the reference-cell measure so physical weights are ``w * |det J|``."""
     if cell == "triangle":
         return _triangle_rule(degree)
     if cell == "quadrilateral":
         return _quad_rule(degree)
+    if cell == "tetrahedron":
+        return _tet_rule(degree)
     raise ValueError(f"Unknown cell {cell!r}.")

@@ -454,8 +454,9 @@ def compute_tags_measures(
     """
     from .spaces import Function as _Function
     from .umesh import UMesh as _UMesh, compute_tags_measures_unstructured
+    from .umesh3 import UMesh3 as _UMesh3
 
-    if isinstance(grid, _UMesh):
+    if isinstance(grid, (_UMesh, _UMesh3)):
         return compute_tags_measures_unstructured(
             grid,
             levelset,

@@ -98,7 +98,7 @@ class USpace:
                 "unstructured solve path is simplex-only (affine geometry); "
                 "use the structured Grid for quadrilateral meshes"
             )
-        return USpace(mesh, lagrange_element("triangle", degree), value_shape)
+        return USpace(mesh, lagrange_element(mesh.cell_name, degree), value_shape)
 
     @staticmethod
     def dg0(mesh: UMesh, value_shape: Tuple[int, ...] = ()) -> "USpace":
@@ -106,7 +106,7 @@ class USpace:
 
         if not mesh.is_simplex:
             raise NotImplementedError("unstructured solve path is simplex-only")
-        return USpace(mesh, dg0_element("triangle"), value_shape)
+        return USpace(mesh, dg0_element(mesh.cell_name), value_shape)
 
     @property
     def degree(self) -> int:
@@ -121,12 +121,23 @@ class USpace:
         return int(np.prod(self.value_shape)) if self.value_shape else 1
 
     @property
+    def _is_tet(self) -> bool:
+        return self.element.cell == "tetrahedron"
+
+    @property
     def num_scalar_dofs(self) -> int:
         m, k = self.mesh, self.degree
         if self.element.family == "DG":
             return m.num_cells
         n = m.num_vertices
-        if k > 1:
+        if k > 1 and self._is_tet:
+            from .elements import classify_nodes_tet
+
+            kind, _, _ = classify_nodes_tet(self.element)
+            n += m.edges.shape[0] * (k - 1)
+            n += m.num_facets * (int(np.sum(kind == 2)) // 4)  # per-face nodes
+            n += m.num_cells * int(np.sum(kind == 3))
+        elif k > 1:
             n += m.num_facets * (k - 1)
             kind, _, _ = classify_nodes(self.element)
             n += m.num_cells * int(np.sum(kind == 2))
@@ -148,6 +159,8 @@ class USpace:
         m, k = self.mesh, self.degree
         if self.element.family == "DG":
             return np.arange(m.num_cells, dtype=np.int32)[:, None]
+        if self._is_tet:
+            return self._cell_dofs_tet()
         kind, entity, param = classify_nodes(self.element)
         nV = m.num_vertices
         edge_base = nV
@@ -176,17 +189,57 @@ class USpace:
             cols.append(col.astype(np.int32))
         return np.stack(cols, axis=-1)
 
+    def _cell_dofs_tet(self) -> np.ndarray:
+        """Tet DoF map: vertices, then per-global-edge nodes (numbered
+        along ascending vertex id, as in 2D), then per-face nodes (degree
+        <= 3: at most one per face), then cell-interior."""
+        from .elements import TET_EDGES, classify_nodes_tet
+
+        m, k = self.mesh, self.degree
+        kind, entity, param = classify_nodes_tet(self.element)
+        nV = m.num_vertices
+        nE = m.edges.shape[0]
+        n_face = int(np.sum(kind == 2)) // 4
+        edge_base = nV
+        face_base = nV + nE * (k - 1)
+        cell_base = face_base + m.num_facets * n_face
+        n_int = int(np.sum(kind == 3))
+        cells = np.arange(m.num_cells, dtype=np.int64)
+
+        cols = []
+        for loc in range(self.nloc):
+            if kind[loc] == 0:
+                col = m.cells[:, int(entity[loc])].astype(np.int64)
+            elif kind[loc] == 1:
+                le = TET_EDGES[int(entity[loc])]
+                edge = m.c2e[:, int(entity[loc])].astype(np.int64)
+                va = m.cells[:, le[0]]
+                vb = m.cells[:, le[1]]
+                idx_local = int(round(float(param[loc]) * k)) - 1
+                idx_rev = (k - 1) - 1 - idx_local
+                idx = np.where(va <= vb, idx_local, idx_rev)
+                col = edge_base + edge * (k - 1) + idx
+            elif kind[loc] == 2:
+                face = m.c2f[:, int(entity[loc])].astype(np.int64)
+                col = face_base + face * n_face  # n_face == 1 for k <= 3
+            else:
+                col = cell_base + cells * n_int + int(entity[loc])
+            cols.append(col.astype(np.int32))
+        return np.stack(cols, axis=-1)
+
     @cached_property
     def cell_dofs(self) -> Array:
         return jnp.asarray(self.cell_dofs_np)
 
     @cached_property
     def dof_coords_np(self) -> np.ndarray:
-        """(num_scalar_dofs, 2) physical DoF coordinates (vertices, then
-        per-facet edge nodes in global direction, then cell-interior)."""
+        """(num_scalar_dofs, dim) physical DoF coordinates (vertices, then
+        per-entity nodes in global direction, then cell-interior)."""
         m, k = self.mesh, self.degree
         if self.element.family == "DG":
             return m.cell_centroids
+        if self._is_tet:
+            return self._dof_coords_tet()
         coords = [m.verts]
         if k > 1:
             ends = m.facet_endpoints  # (nf, 2, 2), ascending vertex id
@@ -209,6 +262,30 @@ class USpace:
                     + int_nodes[None, :, 1:2] * e2[:, None, :]
                 )
                 coords.append(pts.reshape(-1, 2))
+        return np.concatenate(coords, axis=0)
+
+    def _dof_coords_tet(self) -> np.ndarray:
+        from .elements import classify_nodes_tet
+
+        m, k = self.mesh, self.degree
+        coords = [m.verts]
+        if k > 1:
+            kind, _, _ = classify_nodes_tet(self.element)
+            ends = m.verts[m.edges]  # (ne, 2, 3), ascending vertex id
+            ts = np.asarray([(j + 1) / k for j in range(k - 1)])
+            coords.append(
+                (
+                    ends[:, None, 0, :] * (1 - ts)[None, :, None]
+                    + ends[:, None, 1, :] * ts[None, :, None]
+                ).reshape(-1, 3)
+            )
+            if int(np.sum(kind == 2)):  # one centroid node per face (k == 3)
+                coords.append(m.facet_endpoints.mean(axis=1))
+            int_nodes = self.element.nodes[kind == 3]
+            if len(int_nodes):
+                coords.append(
+                    m.map_to_physical(int_nodes).reshape(-1, 3)
+                )
         return np.concatenate(coords, axis=0)
 
 
@@ -248,7 +325,25 @@ def boundary_dof_mask(space: USpace) -> Array:
     bf = np.where(m.boundary_facet_mask)[0]
     mask = np.zeros(space.num_scalar_dofs, bool)
     mask[np.unique(m.facets[bf])] = True
-    if k > 1:
+    if k > 1 and space._is_tet:
+        # edge nodes of the boundary faces' edges + the per-face nodes
+        fv = m.facets[bf]  # (nb, 3) sorted vertex triples
+        face_edges = np.sort(
+            fv[:, [[0, 1], [0, 2], [1, 2]]].reshape(-1, 2), axis=1
+        )
+        keys = m.edges[:, 0].astype(np.int64) * (m.num_vertices + 1) + m.edges[:, 1]
+        q = face_edges[:, 0].astype(np.int64) * (m.num_vertices + 1) + face_edges[:, 1]
+        eids = np.searchsorted(keys, q)
+        edge = m.num_vertices + eids[:, None] * (k - 1) + np.arange(k - 1)[None, :]
+        mask[edge.reshape(-1)] = True
+        from .elements import classify_nodes_tet
+
+        kind, _, _ = classify_nodes_tet(space.element)
+        n_face = int(np.sum(kind == 2)) // 4
+        if n_face:
+            face_base = m.num_vertices + m.edges.shape[0] * (k - 1)
+            mask[face_base + bf * n_face] = True
+    elif k > 1:
         edge = m.num_vertices + bf[:, None] * (k - 1) + np.arange(k - 1)[None, :]
         mask[edge.reshape(-1)] = True
     return jnp.asarray(mask)
@@ -263,9 +358,15 @@ def _is_fn(v) -> bool:
 # --------------------------------------------------------------- geometry
 def _cell_geometry(mesh: UMesh, cells: np.ndarray):
     """Per-cell affine geometry: returns host float64 arrays
-    ``(p0 (ne,2), Jinv (ne,2,2), absdet (ne,), h (ne,))`` with
+    ``(p0 (ne,d), Jinv (ne,d,d), absdet (ne,), h (ne,))`` with
     ``Jinv[r, x] = d ref_r / d x`` (the gradient-transform convention of
-    the structured tabulations)."""
+    the structured tabulations).  ``h`` is the max edge length (UFL
+    ``CellDiameter``).  Works for triangles and (via the duck-typed
+    :class:`~phifem_tpu.umesh3.UMesh3`) tetrahedra."""
+    if mesh.dim == 3:
+        from .umesh3 import _cell_geometry3
+
+        return _cell_geometry3(mesh, cells)
     V = mesh.verts[mesh.cells[cells]]  # (ne, 3, 2)
     p0 = V[:, 0]
     J = np.stack([V[:, 1] - p0, V[:, 2] - p0], axis=-1)  # J[i, r] = dx_i/dref_r
@@ -327,11 +428,13 @@ def _u_cell_local_fn(system: System, term: CellTerm, mesh: UMesh, data: Dict,
 
     p0, Jinv, absdet, h = _cell_geometry(mesh, cells)
     ft = _float_dtype()
-    # physical quadrature points, mapped through the vertices directly
-    V = mesh.verts[mesh.cells[cells]]
-    r = ref_pts[None, :, 0, None]
-    s = ref_pts[None, :, 1, None]
-    x_np = (1 - r - s) * V[:, None, 0] + r * V[:, None, 1] + s * V[:, None, 2]
+    dim = mesh.dim
+    # physical quadrature points: barycentric combination of the vertices
+    V = mesh.verts[mesh.cells[cells]]  # (ne, dim+1, dim)
+    lam = np.concatenate(
+        [1.0 - ref_pts.sum(axis=1, keepdims=True), ref_pts], axis=1
+    )  # (nq, dim+1)
+    x_np = np.einsum("qk,ckx->cqx", lam, V)
 
     geo = {
         "Jinv": jnp.asarray(Jinv, ft),
@@ -347,7 +450,7 @@ def _u_cell_local_fn(system: System, term: CellTerm, mesh: UMesh, data: Dict,
             dat = arrays[k] if arrays is not None else f.data
             cd["d_" + k] = dat[jnp.asarray(dof_tables[k])]
         for k, f in call_data.items():
-            vals = f(cd["x"].reshape(-1, 2))
+            vals = f(cd["x"].reshape(-1, dim))
             cd["c_" + k] = jnp.reshape(vals, cd["x"].shape[:2] + vals.shape[1:])
         return cd
 
@@ -391,16 +494,17 @@ def _facet_side_tabs(element: Element, mesh: UMesh, cells: np.ndarray,
     """Reference tabulations of one side's basis at per-facet physical
     points: maps ``x`` back with the side cell's affine inverse, then
     tabulates (host, static geometry).  Returns (val (nf,nq,nloc),
-    gref (nf,nq,nloc,2), href (nf,nq,nloc,2,2), Jinv (nf,2,2), h (nf,))."""
+    gref (nf,nq,nloc,d), href (nf,nq,nloc,d,d), Jinv (nf,d,d), h (nf,))."""
+    d = mesh.dim
     p0, Jinv, _, h = _cell_geometry(mesh, cells)
     ref = np.einsum("frx,fqx->fqr", Jinv, x_np - p0[:, None, :])
     nf, nq, _ = ref.shape
-    flat = ref.reshape(-1, 2)
+    flat = ref.reshape(-1, d)
     ft = _float_dtype()
     val = jnp.asarray(element.tabulate(flat).reshape(nf, nq, -1), ft)
-    gref = jnp.asarray(element.tabulate_grad(flat).reshape(nf, nq, -1, 2), ft)
+    gref = jnp.asarray(element.tabulate_grad(flat).reshape(nf, nq, -1, d), ft)
     href = jnp.asarray(
-        element.tabulate_hess(flat).reshape(nf, nq, -1, 2, 2), ft
+        element.tabulate_hess(flat).reshape(nf, nq, -1, d, d), ft
     )
     return val, gref, href, jnp.asarray(Jinv, ft), h
 
@@ -410,19 +514,33 @@ def _u_facet_local_fn(system: System, term, mesh: UMesh, data: Dict,
                       normals: np.ndarray):
     """Twin of ``assembly._facet_local_fn``: ``sides`` is (c0,) for
     one-sided ds terms and (c0, c1) for interior dS terms.  ``normals``
-    must already carry the term's orientation (outward / side0->side1)."""
-    t1d, w1d = segment_rule(term.npts)
+    must already carry the term's orientation (outward / side0->side1).
+
+    Facet quadrature: Gauss-Legendre on edges (2D) / a symmetric triangle
+    rule of matching exactness on faces (3D) — ``term.npts`` keeps its 2D
+    meaning (degree 2*npts-1 exact)."""
     nsides = len(sides)
     layout = _layout(system)
     ntot1 = sum(l[-1] for l in layout)
     ntot = nsides * ntot1
 
-    ends = mesh.facet_endpoints[facets]  # (nf, 2, 2)
-    x_np = (
-        ends[:, None, 0, :] * (1 - t1d)[None, :, None]
-        + ends[:, None, 1, :] * t1d[None, :, None]
-    )
-    lengths = mesh.facet_lengths[facets]
+    ends = mesh.facet_endpoints[facets]  # (nf, dim, dim) facet vertices
+    if mesh.dim == 2:
+        t1d, w1d = segment_rule(term.npts)
+        x_np = (
+            ends[:, None, 0, :] * (1 - t1d)[None, :, None]
+            + ends[:, None, 1, :] * t1d[None, :, None]
+        )
+        # physical weights: w1d sums to 1, scale = edge length
+        wscale = mesh.facet_lengths[facets]
+    else:
+        fq, w1d = cell_rule("triangle", 2 * term.npts - 1)
+        lam = np.concatenate(
+            [1.0 - fq.sum(axis=1, keepdims=True), fq], axis=1
+        )  # (nq, 3) barycentric on the face
+        x_np = np.einsum("qk,fkx->fqx", lam, ends)
+        # ref-triangle weights sum to 1/2; affine scale factor = 2 * area
+        wscale = 2.0 * mesh.facet_lengths[facets]
     ft = _float_dtype()
 
     fn_data = {k: v for k, v in data.items() if _is_fn(v)}
@@ -458,7 +576,7 @@ def _u_facet_local_fn(system: System, term, mesh: UMesh, data: Dict,
     h_ctx = np.mean(np.stack(hs), axis=0)  # avg(h) across sides
     geo = {
         "x": jnp.asarray(x_np, ft),
-        "wlen": jnp.asarray(w1d[None, :] * lengths[:, None], ft),
+        "wlen": jnp.asarray(w1d[None, :] * wscale[:, None], ft),
         "n": jnp.asarray(normals, ft),
         "h": jnp.asarray(h_ctx, ft),
     }
@@ -476,7 +594,7 @@ def _u_facet_local_fn(system: System, term, mesh: UMesh, data: Dict,
                 dat = arrays[k] if arrays is not None else f.data
                 cd[f"d{s_i}_" + k] = dat[jnp.asarray(dof_tables[s_i][k])]
         for k, f in call_data.items():
-            vals = f(cd["x"].reshape(-1, 2))
+            vals = f(cd["x"].reshape(-1, mesh.dim))
             cd["c_" + k] = jnp.reshape(vals, cd["x"].shape[:2] + vals.shape[1:])
         return cd
 

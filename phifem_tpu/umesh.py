@@ -90,6 +90,10 @@ class UMesh:
 
     # ------------------------------------------------------------- basics
     @property
+    def dim(self) -> int:
+        return 2
+
+    @property
     def is_simplex(self) -> bool:
         return self.cells.shape[1] == 3
 
@@ -216,6 +220,18 @@ class UMesh:
             + (1 - r) * s * V[:, None, 3]
         )
 
+    # ----------------------------------------------------------- detection
+    def detection_ref_points(self, N: int) -> np.ndarray:
+        """Reference-cell boundary detection lattice (C1,
+        ``mesh_scripts.py:28-92``)."""
+        return lsmod.detection_points(self.cell_type, N)
+
+    def boundary_trace_cut(self, ls: "ULevelSet", detection_degree: int) -> np.ndarray:
+        """Per-cell boundary-trace-cut flag (reference
+        ``mesh_scripts.py:434-452``: ds-measure detection aggregated per
+        boundary cell)."""
+        return _u_boundary_trace_cut(self, ls, detection_degree)
+
     # ---------------------------------------------------------------- I/O
     @staticmethod
     def from_xdmf(path: str) -> "UMesh":
@@ -288,8 +304,8 @@ class UDiscreteLevelset:
         self.mesh = mesh
         self.degree = degree
         self.element = lagrange_element(mesh.cell_name, degree)
-        node_phys = mesh.map_to_physical(self.element.nodes)  # (nc, nloc, 2)
-        vals = np.asarray(func(node_phys.reshape(-1, 2)), np.float64)
+        node_phys = mesh.map_to_physical(self.element.nodes)  # (nc, nloc, d)
+        vals = np.asarray(func(node_phys.reshape(-1, mesh.dim)), np.float64)
         self.nodal = vals.reshape(mesh.num_cells, -1)  # (nc, nloc)
 
     def eval_ref(self, ref_pts: np.ndarray) -> np.ndarray:
@@ -298,9 +314,10 @@ class UDiscreteLevelset:
         return self.nodal @ tab.T
 
     def eval_cell_ref(self, cells: np.ndarray, ref_pts: np.ndarray) -> np.ndarray:
-        """(n, npts): interpolant at per-cell reference points (n, npts, 2)."""
+        """(n, npts): interpolant at per-cell reference points (n, npts, d)."""
+        d = self.mesh.dim
         tab = np.asarray(
-            self.element.tabulate(ref_pts.reshape(-1, 2))
+            self.element.tabulate(ref_pts.reshape(-1, d))
         ).reshape(ref_pts.shape[0], ref_pts.shape[1], -1)
         return np.einsum("cpl,cl->cp", tab, self.nodal[cells])
 
@@ -309,10 +326,12 @@ ULevelSet = Union[Callable, UDiscreteLevelset]
 
 
 def _detection_values(mesh: UMesh, ls: ULevelSet, ref_pts: np.ndarray) -> np.ndarray:
-    if isinstance(ls, UDiscreteLevelset):
+    from .umesh3 import UDiscreteLevelset3
+
+    if isinstance(ls, (UDiscreteLevelset, UDiscreteLevelset3)):
         return ls.eval_ref(ref_pts)
     phys = mesh.map_to_physical(ref_pts)
-    return np.asarray(ls(phys.reshape(-1, 2)), np.float64).reshape(
+    return np.asarray(ls(phys.reshape(-1, mesh.dim)), np.float64).reshape(
         mesh.num_cells, -1
     )
 
@@ -338,7 +357,7 @@ def u_tag_cells(
     """Cell tags 1/2/3 (reference ``_tag_cells``, ``mesh_scripts.py:284-390``)
     on an imported mesh; same sign-classification semantics as the lattice
     path (:func:`phifem_tpu.tagging.tag_cells`)."""
-    pts = lsmod.detection_points(mesh.cell_type, detection_degree)
+    pts = mesh.detection_ref_points(detection_degree)
     vals = _detection_values(mesh, ls, pts)
     has_pos, has_neg = _sign_flags(vals)
     tags = _classify(has_pos, has_neg)
@@ -413,8 +432,10 @@ def u_tag_facets(
     """Facet tags 1..6 (reference ``_tag_facets``, ``mesh_scripts.py:393-558``)
     — the same per-facet rule table as the lattice path
     (:func:`phifem_tpu.tagging.tag_facets`), applied over the explicit f2c
-    map instead of shifted slices."""
-    trace_cut = _u_boundary_trace_cut(mesh, ls, detection_degree)
+    map instead of shifted slices.  Dimension-agnostic: only consumes
+    ``f2c`` / ``boundary_facet_mask`` / ``boundary_trace_cut``, so it runs
+    unchanged on :class:`~phifem_tpu.umesh3.UMesh3`."""
+    trace_cut = mesh.boundary_trace_cut(ls, detection_degree)
     f2c = mesh.f2c
     t0 = cell_tags[f2c[:, 0]]
     t1 = np.where(f2c[:, 1] >= 0, cell_tags[np.maximum(f2c[:, 1], 0)], 0)
