@@ -773,32 +773,52 @@ def _sparse_solve(op: Operator, b, bcs, active, deflate=None) -> SolveResult:
         A, _ = op.restricted_csr(sel)
         A = A.tocoo()
         keep = act[A.row] & act[A.col]
-        inact = np.where(~act)[0]
-        rows = np.concatenate([A.row[keep], inact])
-        cols = np.concatenate([A.col[keep], inact])
-        vals = np.concatenate([A.data[keep], np.ones(len(inact))])
-        Ared = sp.csc_matrix((vals, (rows, cols)), shape=(n, n))
+        # factor the ACTIVE submatrix only: bg-mode mixed systems carry
+        # huge identity blocks (flux/auxiliary fields live only on the
+        # cut band, u fields on their regions) whose rows would bloat
+        # SuperLU's int32 workspace past overflow at million-DoF scale —
+        # inactive rows are x = b, no factorization needed.
+        idx = np.where(act)[0]
+        ren = np.full(n, -1, np.int64)
+        ren[idx] = np.arange(len(idx))
+        na = len(idx)
+        Ared = sp.csc_matrix(
+            (A.data[keep], (ren[A.row[keep]], ren[A.col[keep]])),
+            shape=(na, na),
+        )
         Afac = Ared
         if Q is not None:
-            k = Q.shape[1]
-            Afac = sp.bmat(
-                [[Ared, sp.csc_matrix(Q)], [sp.csc_matrix(Q.T), None]],
-                format="csc",
+            Qa = sp.csc_matrix(Q[idx])
+            Afac = sp.bmat([[Ared, Qa], [Qa.T, None]], format="csc")
+        try:
+            lu = splu(Afac)
+        except (RuntimeError, MemoryError):
+            # COLAMD fill-in can overflow SuperLU's int32 workspace on
+            # million-DoF mixed systems (SUPERLU_MALLOC failure with RAM
+            # to spare).  MMD on the symmetrized pattern gives the
+            # classic low-fill FEM ordering — retry with it.
+            lu = splu(
+                Afac,
+                permc_spec="MMD_AT_PLUS_A",
+                options={"SymmetricMode": True},
             )
-        lu = splu(Afac)
         # keep the bc objects referenced so the id()-based key stays unique
-        cached = op._splu_cache = (key, lu, Ared, tuple(bcs))
-    _, lu, Ared = cached[:3]
+        cached = op._splu_cache = (key, lu, Ared, idx, tuple(bcs))
+    _, lu, Ared, idx = cached[:4]
 
+    ba = bv[idx]
+    xv = bv.copy()  # inactive identity rows: x = b
     if Q is None:
-        xv = lu.solve(bv)
-        r = np.linalg.norm(Ared @ xv - bv) / max(np.linalg.norm(bv), 1e-300)
+        xa = lu.solve(ba)
+        r = np.linalg.norm(Ared @ xa - ba) / max(np.linalg.norm(ba), 1e-300)
     else:
-        xv = lu.solve(np.concatenate([bv, np.zeros(Q.shape[1])]))[:n]
-        rv = bv - Ared @ xv
-        rv -= Q @ (Q.T @ rv)  # deflated residual (Krylov-path semantics)
-        bd = bv - Q @ (Q.T @ bv)
+        Qa = Q[idx]  # orthonormal: Q has no mass on inactive rows
+        xa = lu.solve(np.concatenate([ba, np.zeros(Qa.shape[1])]))[: len(idx)]
+        rv = ba - Ared @ xa
+        rv -= Qa @ (Qa.T @ rv)  # deflated residual (Krylov-path semantics)
+        bd = ba - Qa @ (Qa.T @ ba)
         r = np.linalg.norm(rv) / max(np.linalg.norm(bd), 1e-300)
+    xv[idx] = xa
     x = {}
     for name, s in op.system.fields.items():
         sl = slice(off[name], off[name] + s.num_dofs)

@@ -227,6 +227,24 @@ def test_usolve3_s1_patch_exact():
     assert e["l2"] < 1e-8 and e["h10"] < 1e-8, e
 
 
+def test_usolve3_s1_p2_quadratic_exact():
+    """P2 tets reproduce quadratic solutions to solver tolerance (the 3D
+    unstructured twin of the structured Q2 exactness test): stiffness,
+    one-sided flux, penalty with u_D = u, cell stab (nonzero P2
+    Hessians) and C^1 ghost jumps are all exactly consistent."""
+    uex = lambda x: (
+        1.0
+        + 2.0 * x[..., 0]
+        - x[..., 1]
+        + 0.5 * x[..., 0] * x[..., 1]
+        + x[..., 2] ** 2
+        - 0.25 * x[..., 0] * x[..., 2]
+    )
+    fq = lambda x: -2.0 * jnp.ones(x.shape[:-1])  # -lap uex
+    e = _weak3(5, uex, fq, primal_degree=2, levelset_degree=2)
+    assert e["l2"] < 1e-8 and e["h10"] < 1e-8, e
+
+
 def test_usolve3_s1_convergence():
     """O(h^2) on the sphere; the dual-penalty constant is large at these
     coarse 3D sizes exactly as in the structured path (which measures L2
