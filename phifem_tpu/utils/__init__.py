@@ -1,11 +1,12 @@
 """Auxiliary subsystems: I/O, config, profiling, debug checks."""
 
-from .io import write_vti, write_vtu, write_xdmf, save_checkpoint, load_checkpoint
+from .io import write_vti, write_vtu, write_vtu_umesh, write_xdmf, save_checkpoint, load_checkpoint
 from .config import SchemeConfig, load_config
 from .profiling import Timer, report_throughput
 
 __all__ = [
     "write_vtu",
+    "write_vtu_umesh",
     "write_vti",
     "write_xdmf",
     "save_checkpoint",

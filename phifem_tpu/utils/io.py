@@ -96,6 +96,81 @@ def write_vtu(
         f.write("\n".join(lines))
 
 
+def write_vtu_umesh(
+    path: Union[str, os.PathLike],
+    mesh,
+    point_data: Optional[Dict[str, np.ndarray]] = None,
+    cell_data: Optional[Dict[str, np.ndarray]] = None,
+) -> None:
+    """ASCII VTU for an imported mesh (:class:`~phifem_tpu.umesh.UMesh`
+    triangles/quads or :class:`~phifem_tpu.umesh3.UMesh3` tets) — the
+    unstructured twin of :func:`write_vtu` (the reference writes every
+    solution via dolfinx ``XDMFFile``, e.g.
+    ``demo/weak-dirichlet/flower/main.py:193-195``).
+
+    ``point_data`` values are per-vertex arrays or ``UFunction``s (whose
+    leading ``num_vertices`` coefficients are the vertex values for
+    Lagrange spaces — the P1 head of the DoF layout)."""
+    verts = np.asarray(mesh.verts, np.float64)
+    conn = np.asarray(mesh.cells)
+    ncells, nloc = conn.shape
+    dim = verts.shape[1]
+    vtk_type = {(2, 3): 5, (2, 4): 9, (3, 4): 10}[(dim, nloc)]
+
+    def _vertex_values(v):
+        data = getattr(v, "data", v)
+        arr = np.asarray(data)
+        return arr[: mesh.num_vertices]
+
+    lines = [
+        '<?xml version="1.0"?>',
+        '<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">',
+        "<UnstructuredGrid>",
+        f'<Piece NumberOfPoints="{len(verts)}" NumberOfCells="{ncells}">',
+        "<Points>",
+        '<DataArray type="Float64" NumberOfComponents="3" format="ascii">',
+    ]
+    pts3 = np.column_stack([verts] + [np.zeros(len(verts))] * (3 - dim))
+    lines.append(" ".join(f"{v:.17g}" for v in pts3.reshape(-1)))
+    lines += ["</DataArray>", "</Points>", "<Cells>"]
+    lines.append('<DataArray type="Int64" Name="connectivity" format="ascii">')
+    lines.append(" ".join(map(str, conn.reshape(-1))))
+    lines.append("</DataArray>")
+    lines.append('<DataArray type="Int64" Name="offsets" format="ascii">')
+    lines.append(" ".join(map(str, (np.arange(1, ncells + 1) * nloc))))
+    lines.append("</DataArray>")
+    lines.append('<DataArray type="UInt8" Name="types" format="ascii">')
+    lines.append(" ".join([str(vtk_type)] * ncells))
+    lines.append("</DataArray>")
+    lines.append("</Cells>")
+
+    lines.append("<PointData>")
+    for name, v in (point_data or {}).items():
+        vals = _vertex_values(v)
+        ncomp = 1 if vals.ndim == 1 else int(np.prod(vals.shape[1:]))
+        lines.append(
+            f'<DataArray type="Float64" Name="{name}" NumberOfComponents="{ncomp}" format="ascii">'
+        )
+        lines.append(" ".join(f"{float(x):.17g}" for x in np.asarray(vals).reshape(-1)))
+        lines.append("</DataArray>")
+    lines.append("</PointData>")
+
+    lines.append("<CellData>")
+    for name, arr in (cell_data or {}).items():
+        arr = np.asarray(arr)
+        lines.append(
+            f'<DataArray type="Float64" Name="{name}" NumberOfComponents="1" format="ascii">'
+        )
+        lines.append(" ".join(f"{float(x):.17g}" for x in arr.reshape(-1)))
+        lines.append("</DataArray>")
+    lines.append("</CellData>")
+
+    lines += ["</Piece>", "</UnstructuredGrid>", "</VTKFile>"]
+    os.makedirs(os.path.dirname(str(path)) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
 def write_xdmf(
     path: Union[str, os.PathLike],
     grid: Grid,

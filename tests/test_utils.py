@@ -47,6 +47,31 @@ def test_vtu_writer(tmp_path):
     assert "UnstructuredGrid" in text and 'Name="u"' in text
 
 
+def test_vtu_umesh_writer(tmp_path):
+    """Unstructured VTU writer: 2D tri mesh and 3D tet mesh round-trip
+    through ParaView-parsable XML with vertex + cell fields."""
+    from phifem_tpu.umesh3 import UMesh3
+    from phifem_tpu.utils import write_vtu_umesh
+
+    um, _ = pf.UMesh.from_grid(
+        pf.Grid(3, 3, ((0.0, 0.0), (1.0, 1.0)), "triangle")
+    )
+    p2 = tmp_path / "tri.vtu"
+    write_vtu_umesh(
+        p2, um,
+        point_data={"u": um.verts[:, 0]},
+        cell_data={"tag": np.ones(um.num_cells)},
+    )
+    t = p2.read_text()
+    assert 'Name="u"' in t and 'Name="tag"' in t and ">5<" not in t
+
+    m3 = UMesh3.box(2, 2, 2)
+    p3 = tmp_path / "tet.vtu"
+    write_vtu_umesh(p3, m3, point_data={"u": m3.verts[:, 2]})
+    t3 = p3.read_text()
+    assert "UnstructuredGrid" in t3 and t3.count("10") >= m3.num_cells
+
+
 def test_checkpoint_roundtrip(tmp_path):
     path = tmp_path / "ck.npz"
     save_checkpoint(path, u=jnp.arange(5.0), tags=np.array([1, 2, 3], np.int8))
