@@ -117,6 +117,7 @@ def bench_s1_pipeline(n: int) -> dict:
     import phifem_tpu as pf
     from phifem_tpu.models import WeakDirichletPoisson
     from phifem_tpu.solvers import masked_operator
+    from phifem_tpu.utils import fetch_all
 
     tol = float(os.environ.get("PHIFEM_BENCH_TOL", "1e-8"))
     grid = pf.Grid(n, n, ((-4.5, -4.5), (4.5, 4.5)), pf.CellType.triangle)
@@ -178,14 +179,19 @@ def bench_s1_pipeline(n: int) -> dict:
     # the whole chain).  This is the production iteration; the reference's
     # equivalent is re-running tags + assembly + LU per refinement level.
     def pipeline_once():
-        pf.compute_tags_measures(
+        res = pf.compute_tags_measures(
             grid, detection_levelset, 1, box_mode=True, single_layer_cut=True
         )
         s.op.reassemble()
         # reassemble bumped data_version, which clears compiled solve
         # runners; rebuild the preconditioner handle (cached dense/band
         # inverses are value-stale but structurally identical, so reuse)
-        return s.solve(method="bicgstab", tol=tol, maxiter=60, precond=vc)
+        r = s.solve(method="bicgstab", tol=tol, maxiter=60, precond=vc, sync=False)
+        # ONE packed host round trip for the whole iteration: the fresh
+        # tags (how a caller detects a topology change) + the solve's
+        # (relres, iters) stats fetch together
+        fetch_all(res, r)
+        return r
 
     pipeline_once()
     t0 = time.perf_counter()

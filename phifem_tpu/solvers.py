@@ -175,12 +175,64 @@ def lift_rhs(
     return b
 
 
-@dataclasses.dataclass
 class SolveResult:
-    x: Dict[str, Array]
-    residual: float
-    iterations: int
-    converged: bool
+    """Solution + solver statistics (the PETSc ``KSPGetResidualNorm`` /
+    ``KSPGetIterationNumber`` analogue the reference reads from its KSP).
+
+    With ``solve(..., sync=False)`` the packed (relres, iters) stats stay
+    on device and cross to the host on first ``residual``/``iterations``/
+    ``converged`` access — or packed with other pending fetches via
+    :func:`phifem_tpu.utils.fetch_all`, so a warm tag+assemble+solve
+    iteration costs ONE host round trip total."""
+
+    __slots__ = ("x", "_residual", "_iterations", "_converged", "_stats", "_tol")
+
+    def __init__(
+        self,
+        x: Dict[str, Array],
+        residual: float = None,
+        iterations: int = None,
+        converged: bool = None,
+        _stats=None,
+        _tol: float = None,
+    ):
+        self.x = x
+        self._residual = residual
+        self._iterations = iterations
+        self._converged = converged
+        self._stats = _stats  # device (2,) [relres, iters], or None
+        self._tol = _tol
+
+    def _pending(self):
+        return self._stats
+
+    def _absorb(self, stats) -> None:
+        if self._stats is None:
+            return
+        stats = np.asarray(stats)
+        self._stats = None
+        self._residual = float(stats[0])
+        self._iterations = int(stats[1])
+        self._converged = self._residual <= 10 * self._tol
+
+    def _sync(self) -> None:
+        if self._stats is not None:
+            self._absorb(jax.device_get(self._stats))
+
+    @property
+    def residual(self) -> float:
+        self._sync()
+        return self._residual
+
+    @property
+    def iterations(self) -> int:
+        self._sync()
+        return self._iterations
+
+    @property
+    def converged(self) -> bool:
+        self._sync()
+        return self._converged
 
 
 def _pcg(matvec, b, x0, *, tol, atol, maxiter, M):
@@ -382,6 +434,7 @@ def solve(
     x0: Optional[Dict[str, Array]] = None,
     precond: Optional[Callable] = None,
     deflate: Optional[Tuple[Dict[str, Array], ...]] = None,
+    sync: bool = True,
 ) -> SolveResult:
     """Solve ``A x = b`` with preconditioned Krylov iterations (or direct
     factorizations: ``method="dense"`` — lstsq with null-pivot handling,
@@ -588,11 +641,10 @@ def solve(
 
     _run, pconsts = cached
     x, stats = _run(b, x0, dyn_args, deflate, pconsts)
-    stats = np.asarray(stats)
-    rel, iters = float(stats[0]), int(stats[1])
-    return SolveResult(
-        x=x, residual=rel, iterations=iters, converged=rel <= 10 * tol
-    )
+    res = SolveResult(x=x, _stats=stats, _tol=tol)
+    if sync:
+        res._sync()  # one packed (relres, iters) value fetch
+    return res
 
 
 def solve_ir(

@@ -67,13 +67,69 @@ def _debug_mode() -> bool:
     return os.environ.get("MODE", "") == "debug"
 
 
-@dataclasses.dataclass(frozen=True)
+class _LazyTags:
+    """Deferred host fetch of the packed ``_tags_jit`` output.
+
+    ``compute_tags_measures`` dispatches tagging and returns immediately;
+    the (cells, facets, degenerate-count) triple crosses to the host in
+    ONE ``jax.device_get`` on first access — or packed with other pending
+    fetches via :func:`phifem_tpu.utils.fetch_all` (each host<->device
+    fetch through a remote-device tunnel costs a full round trip, so a
+    warm re-tag + solve loop synchronizes exactly once)."""
+
+    __slots__ = ("_dev", "cells", "facets")
+
+    def __init__(self, dev):
+        self._dev = dev  # (cells, facets, ndeg) device arrays, or None
+        self.cells = None
+        self.facets = None
+
+    def _pending(self):
+        return self._dev
+
+    def _fetch(self):
+        if self._dev is not None:
+            self._absorb(jax.device_get(self._dev))
+
+    def _absorb(self, vals) -> None:
+        if self._dev is None:
+            return
+        cells, facets, ndeg = vals
+        self._dev = None
+        self.cells = np.asarray(cells)
+        self.facets = np.asarray(facets)
+        if int(ndeg) > 0:
+            warnings.warn(
+                f"{int(ndeg)} cell(s) have an identically-zero (or NaN) "
+                "level set at every detection point; they are classified "
+                "as cut (reference degenerate-cell convention, "
+                "mesh_scripts.py:121-133).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+
 class EntityTags:
     """Dense per-entity tag array (dolfinx ``MeshTags`` analogue,
-    reference N3 usage at ``mesh_scripts.py:274-279, 386-390``)."""
+    reference N3 usage at ``mesh_scripts.py:274-279, 386-390``).
 
-    dim: str  # "cell" | "facet"
-    values: Array  # (num_entities,) int8
+    ``values`` may be materialized host/device data, or deferred: tags
+    produced by :func:`compute_tags_measures` stay on device until first
+    host access (see :class:`_LazyTags`)."""
+
+    __slots__ = ("dim", "_values", "_lazy")
+
+    def __init__(self, dim: str, values: Optional[Array] = None, _lazy=None):
+        self.dim = dim  # "cell" | "facet"
+        self._values = values  # (num_entities,) int8
+        self._lazy = _lazy
+
+    @property
+    def values(self) -> Array:
+        if self._values is None:
+            self._lazy._fetch()
+            self._values = getattr(self._lazy, self.dim + "s")
+        return self._values
 
     def find(self, tag: int) -> np.ndarray:
         """Host-side indices of entities with ``tag`` (``MeshTags.find``)."""
@@ -394,6 +450,18 @@ class TagsMeasures:
     submesh: Optional[Submesh]
     boundaries_measure: BoundaryMeasure
     submesh_maps: Optional[List[np.ndarray]]
+    _lazy: Optional["_LazyTags"] = None
+
+    # packed-fetch protocol (phifem_tpu.utils.fetch_all): tags stay on
+    # device until the caller synchronizes — pack the fetch with e.g. a
+    # deferred SolveResult so a warm tag+assemble+solve iteration costs
+    # ONE host round trip total
+    def _pending(self):
+        return self._lazy._pending() if self._lazy is not None else None
+
+    def _absorb(self, vals) -> None:
+        if self._lazy is not None:
+            self._lazy._absorb(vals)
 
     def __iter__(self):
         return iter(
@@ -475,22 +543,14 @@ def compute_tags_measures(
         out = _tags_jit(
             grid, detection_degree, single_layer_cut, levelset, None, None
         )
-    # ONE packed fetch for (cells, facets, degenerate count): the facet
-    # entity lists below need host values anyway, and separate fetches
-    # each cost a full round trip on a remote device
-    cells, facets, ndeg = jax.device_get(out)
-
-    if int(ndeg) > 0:
-        warnings.warn(
-            f"{int(ndeg)} cell(s) have an identically-zero (or NaN) level "
-            "set at every detection point; they are classified as cut "
-            "(reference degenerate-cell convention).",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-
-    cells_tags = EntityTags("cell", cells)
-    facets_tags = EntityTags("facet", facets)
+    # DEFERRED packed fetch for (cells, facets, degenerate count): tags
+    # stay on device until first host access (one device_get for all
+    # three — separate fetches each cost a full round trip on a remote
+    # device, and a warm re-tag inside a solve loop may never need the
+    # host values before the end-of-iteration synchronization at all)
+    lazy = _LazyTags(out)
+    cells_tags = EntityTags("cell", _lazy=lazy)
+    facets_tags = EntityTags("facet", _lazy=lazy)
 
     if overwrite:
         if "cells" in overwrite:
@@ -503,19 +563,19 @@ def compute_tags_measures(
     if _debug_mode():
         _check_invariants(cells_tags, facets_tags)
 
-    ct = cells_tags.as_numpy()
-    ft = facets_tags.as_numpy()
-
     if box_mode:
         # id 100: Gamma_h (tag-4 facets) seen from inside Omega_h (cells 1|2)
         # id 101: interior-boundary facets (tag 3) seen from the cut side
         # (cells 2|3) — reference mesh_scripts.py:617-629.
-        # LAZY: entity-list prep + the (single batched) upload run on first
-        # access only — a warm re-tag in a solve loop re-uses the
-        # operator's frozen facet lists and never reads the fresh measure,
-        # so building it eagerly costs a full device round trip for nothing
-        measure = BoundaryMeasure(
-            build=lambda: one_sided_facets_multi(
+        # LAZY: entity-list prep (incl. the host tag fetch) + the (single
+        # batched) upload run on first access only — a warm re-tag in a
+        # solve loop re-uses the operator's frozen facet lists and never
+        # reads the fresh measure, so building it eagerly costs a full
+        # device round trip for nothing
+        def _build_measure():
+            ct = cells_tags.as_numpy()
+            ft = facets_tags.as_numpy()
+            return one_sided_facets_multi(
                 grid,
                 {
                     100: (np.where(ft == 4)[0], (1, 2)),
@@ -523,8 +583,9 @@ def compute_tags_measures(
                 },
                 ct,
             )
-        )
-        return TagsMeasures(cells_tags, facets_tags, None, measure, None)
+
+        measure = BoundaryMeasure(build=_build_measure)
+        return TagsMeasures(cells_tags, facets_tags, None, measure, None, lazy)
 
     sub = _build_submesh(grid, cells_tags.values, facets_tags.values)
     measure = BoundaryMeasure({0: sub.exterior})

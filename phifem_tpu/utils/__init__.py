@@ -3,8 +3,10 @@
 from .io import write_vti, write_vtu, write_vtu_umesh, write_xdmf, save_checkpoint, load_checkpoint
 from .config import SchemeConfig, load_config
 from .profiling import Timer, report_throughput
+from .sync import fetch_all
 
 __all__ = [
+    "fetch_all",
     "write_vtu",
     "write_vtu_umesh",
     "write_vti",

@@ -36,7 +36,9 @@ def test_degenerate_cell_runtime_warning():
     phi = lambda x: jnp.where(x[..., 0] > 0.5, -1.0, 0.0)
     with pytest.warns(RuntimeWarning, match="detection point"):
         res = pf.compute_tags_measures(g, phi, 1, box_mode=True)
-    ct = res.cells_tags.as_numpy()
+        # tags are fetched lazily — the warning fires at the (packed)
+        # host synchronization, like every other deferred device value
+        ct = res.cells_tags.as_numpy()
     assert np.any(ct == 2)  # degenerate cells forced to cut
 
 
@@ -46,6 +48,7 @@ def test_healthy_levelset_no_degenerate_warning():
     g = pf.Grid(8, 8, ((-1.5, -1.5), (1.5, 1.5)), "triangle")
     with _w.catch_warnings():
         _w.simplefilter("error", RuntimeWarning)
-        pf.compute_tags_measures(
+        res = pf.compute_tags_measures(
             g, lambda x: x[..., 0] ** 2 + x[..., 1] ** 2 - 0.5, 1, box_mode=True
         )
+        res.cells_tags.as_numpy()  # force the deferred fetch
