@@ -17,14 +17,27 @@ float64 (PHIFEM_X64=1): the reference solves in f64 (PETSc/MUMPS) and f32
 Krylov stalls near 1e-4 on penalized phi-FEM systems; the V-cycle
 preconditioner runs float32 so the Pallas stencil is live on that path too.
 
+Timeout robustness (round-4 redesign; round 3's artifact was an empty
+rc=124): the HEADLINE poisson_mg section runs first IN-PROCESS; every
+subsequent section runs in its own bounded SUBPROCESS (`bench.py --section
+NAME`), and after each section a complete, self-contained result JSON line
+is printed and flushed — the driver keeps the tail and parses the last
+line, so a stall anywhere after the headline can only cost the remaining
+sections, never the round's perf record.  A global wall-clock deadline
+(PHIFEM_BENCH_BUDGET seconds, default 1080) skips sections that no longer
+fit; per-section subprocess timeouts bound remote-compile wedges (observed
+13 s - 1495 s variance for the same kernel through the tunnel).
+
 Env knobs: PHIFEM_POISSON_N (default 3200), PHIFEM_BENCH_N (S1 grid, 200),
 PHIFEM_BENCH_S5_N (S5 grid, 128), PHIFEM_BENCH_ASM_N (large reassemble,
 3200), PHIFEM_BENCH_3D_N (3D Poisson, 216 -> 10.2M DoF);
-PHIFEM_BENCH_SKIP_{S1,POISSON,S5,ASM,3D}=1 to skip a section.
+PHIFEM_BENCH_SKIP_{S1,POISSON,S5,ASM,3D}=1 to skip a section;
+PHIFEM_BENCH_BUDGET (global deadline, s).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 import traceback
@@ -465,71 +478,29 @@ def bench_reassemble_large(n: int) -> dict:
     }
 
 
-def _section(extra, key, fn, *args, retries: int = 1):
-    """Run one bench section; retry once on failure.  Remote compiles
-    through the tunnel fail transiently (broken pipe / HTTP transport
-    resets — observed killing whole sections whose kernels then compile
-    fine seconds later), and the server-side compile cache makes the
-    retry cheap for everything already compiled before the hiccup."""
-    for attempt in range(retries + 1):
-        try:
-            extra[key] = fn(*args)
-            extra.pop(key + "_error", None)
-            return extra[key]
-        except Exception:
-            extra[key + "_error"] = traceback.format_exc()[-1500:]
-            if attempt < retries:
-                time.sleep(20.0)  # transient tunnel resets settle quickly
-    return None
+# ---------------------------------------------------------------------------
+# Orchestration.  Registry maps section key -> (fn, env var for size, default
+# size, skip env var, minimum seconds of remaining budget required to start).
+# ---------------------------------------------------------------------------
+
+_SECTIONS = {
+    "poisson_mg": (bench_poisson_mg, "PHIFEM_POISSON_N", 3200, "PHIFEM_BENCH_SKIP_POISSON", 0),
+    "s1": (bench_s1_pipeline, "PHIFEM_BENCH_N", 200, "PHIFEM_BENCH_SKIP_S1", 0),
+    "reassemble_large": (bench_reassemble_large, "PHIFEM_BENCH_ASM_N", 3200, "PHIFEM_BENCH_SKIP_ASM", 180),
+    "poisson3d": (bench_poisson3, "PHIFEM_BENCH_3D_N", 216, "PHIFEM_BENCH_SKIP_3D", 150),
+    "s5": (bench_s5, "PHIFEM_BENCH_S5_N", 128, "PHIFEM_BENCH_SKIP_S5", 180),
+    "s5_3d": (bench_s5_3d, "PHIFEM_BENCH_S53D_N", 16, None, 240),
+}
 
 
-def main():
-    extra = {
-        "device": str(jax.devices()[0]),
-        "dtype": "float64" if os.environ["PHIFEM_X64"] == "1" else "float32",
-    }
-
-    s1 = None
-    if os.environ.get("PHIFEM_BENCH_SKIP_S1") != "1":
-        s1 = _section(
-            extra, "s1", bench_s1_pipeline,
-            int(os.environ.get("PHIFEM_BENCH_N", "200")),
-        )
-
-    if os.environ.get("PHIFEM_BENCH_SKIP_3D") != "1":
-        _section(
-            extra, "poisson3d", bench_poisson3,
-            int(os.environ.get("PHIFEM_BENCH_3D_N", "216")),
-        )
-
-    if os.environ.get("PHIFEM_BENCH_SKIP_S5") != "1":
-        _section(
-            extra, "s5", bench_s5,
-            int(os.environ.get("PHIFEM_BENCH_S5_N", "128")),
-        )
-
-    if os.environ.get("PHIFEM_BENCH_S53D") == "1":
-        _section(
-            extra, "s5_3d", bench_s5_3d,
-            int(os.environ.get("PHIFEM_BENCH_S53D_N", "16")),
-        )
-
-    if os.environ.get("PHIFEM_BENCH_SKIP_ASM") != "1":
-        _section(
-            extra, "reassemble_large", bench_reassemble_large,
-            int(os.environ.get("PHIFEM_BENCH_ASM_N", "3200")),
-        )
-
-    poisson = None
-    if os.environ.get("PHIFEM_BENCH_SKIP_POISSON") != "1":
-        poisson = _section(
-            extra, "poisson_mg", bench_poisson_mg,
-            int(os.environ.get("PHIFEM_POISSON_N", "3200")),
-        )
-
+def _result_line(extra) -> str:
+    """One complete driver-parseable result from whatever has finished so
+    far.  Headline = poisson_mg MDoF/s vs the 10.25 MDoF/s north-star rate
+    (sub-second 10M-DoF solve == vs_baseline 1.0); falls back to the S1
+    pipeline metric if the headline section is missing."""
+    poisson = extra.get("poisson_mg")
+    s1 = extra.get("s1")
     if poisson is not None:
-        # north star: sub-second 10M-DoF solve == vs_baseline 1.0
-        # (vs_baseline = value / 10.25 MDoF/s, the north-star rate)
         value = poisson["mdofs_per_s"]
         result = {
             "metric": "poisson_mg_ir_solve_10m_dof",
@@ -547,7 +518,88 @@ def main():
             "vs_baseline": round(value / 100.0, 4),
             "extra": extra,
         }
-    print(json.dumps(result))
+    return json.dumps(result)
+
+
+def _run_section_inproc(key: str) -> dict:
+    fn, size_env, size_default, _, _ = _SECTIONS[key]
+    return fn(int(os.environ.get(size_env, str(size_default))))
+
+
+def _run_section_subproc(key: str, timeout_s: float):
+    """Run one section in a bounded child process.  Returns (data, error):
+    a wedged remote compile or tunnel stall kills only the child; the
+    parent's already-printed result lines survive.  stderr is inherited
+    (compile progress visible in the driver log), stdout is captured for
+    the one-line JSON payload."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--section", key]
+    try:
+        proc = subprocess.run(
+            cmd, stdout=subprocess.PIPE, timeout=timeout_s, text=True
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout_s:.0f}s"
+    if proc.returncode != 0:
+        return None, f"rc={proc.returncode}; stdout tail: {proc.stdout[-800:]}"
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            payload = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if payload.get("section") == key:
+            return payload["data"], None
+    return None, f"no payload line; stdout tail: {proc.stdout[-800:]}"
+
+
+def main():
+    if "--section" in sys.argv:  # child mode: one section, one JSON line
+        key = sys.argv[sys.argv.index("--section") + 1]
+        data = _run_section_inproc(key)
+        print(json.dumps({"section": key, "data": data}), flush=True)
+        return
+
+    t_start = time.monotonic()
+    budget = float(os.environ.get("PHIFEM_BENCH_BUDGET", "1080"))
+    extra = {
+        "device": str(jax.devices()[0]),
+        "dtype": "float64" if os.environ["PHIFEM_X64"] == "1" else "float32",
+    }
+
+    order = ["poisson_mg", "s1", "reassemble_large", "poisson3d", "s5"]
+    if os.environ.get("PHIFEM_BENCH_S53D") == "1":
+        order.append("s5_3d")
+
+    for i, key in enumerate(order):
+        _, _, _, skip_env, min_budget = _SECTIONS[key]
+        if skip_env and os.environ.get(skip_env) == "1":
+            continue
+        remaining = budget - (time.monotonic() - t_start)
+        if remaining < min_budget:
+            extra[key + "_skipped"] = f"budget ({remaining:.0f}s left)"
+            print(_result_line(extra), flush=True)
+            continue
+        if i == 0:
+            # headline runs in-process (shares this process's device handle;
+            # a retry covers transient tunnel resets whose kernels compile
+            # fine seconds later thanks to the server-side cache)
+            for attempt in range(2):
+                try:
+                    extra[key] = _run_section_inproc(key)
+                    extra.pop(key + "_error", None)
+                    break
+                except Exception:
+                    extra[key + "_error"] = traceback.format_exc()[-1500:]
+                    if attempt == 0:
+                        time.sleep(20.0)
+        else:
+            # leave headroom so a stuck child can't eat the whole budget
+            cap = max(min_budget, min(remaining - 60.0, 600.0))
+            data, err = _run_section_subproc(key, cap)
+            if data is not None:
+                extra[key] = data
+            else:
+                extra[key + "_error"] = err
+        print(_result_line(extra), flush=True)
 
 
 if __name__ == "__main__":
