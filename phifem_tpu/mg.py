@@ -639,18 +639,28 @@ def attach_coarse_correction(vc: VCycle, op, active, vectors, bcs=()) -> VCycle:
     Zs, AZs = [], []
     for v in vectors:
         vm = {}
+        nrm2 = 0.0
         for n, sh in zip(names, shapes):
             act = np.broadcast_to(np.asarray(active[n]), sh)
-            vm[n] = jnp.asarray(
-                np.where(act, np.broadcast_to(np.asarray(v[n]), sh), 0.0)
-            )
+            w = np.where(act, np.broadcast_to(np.asarray(v[n]), sh), 0.0)
+            nrm2 += float((w * w).sum())
+            vm[n] = w
+        # normalize each masked mode: enriched bases (interface Fourier
+        # modes) mix wildly different row norms and the Galerkin solve
+        # below is pseudo-inverted by singular value, not by index
+        s = 1.0 / max(np.sqrt(nrm2), 1e-300)
+        vm = {n: jnp.asarray(w * s) for n, w in vm.items()}
         Zs.append(flat(vm))
         AZs.append(flat(matvec(vm)))
     Z = np.stack(Zs)
     AZ = np.stack(AZs)
     G = Z @ AZ.T
+    # pseudo-inverse: an enriched coarse basis may be (near-)linearly
+    # dependent after masking, and pairs of modes may sum to an exact
+    # null-space direction (e.g. S5's collective rigid motions, deflated
+    # by the outer Krylov solve) — both make G singular by construction
     vc.coarse_Z = jnp.asarray(Z)
-    vc.coarse_Ginv = jnp.asarray(np.linalg.inv(G))
+    vc.coarse_Ginv = jnp.asarray(np.linalg.pinv(G, rcond=1e-10))
     vc._version += 1
     return vc
 

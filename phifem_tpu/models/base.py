@@ -377,6 +377,54 @@ class SchemeBase:
         ``InterfaceElasticity._coarse_modes``."""
         return ()
 
+    def _p1_twin(self):
+        """The same scheme with every FE degree lowered to 1 (level-set /
+        detection degrees untouched — they are data representation, not
+        solution space) — the p-multigrid coarse problem."""
+        import dataclasses as _dc
+
+        degree_fields = {"primal_degree", "flux_degree", "auxiliary_degree"}
+        repl = {
+            fld.name: 1
+            for fld in _dc.fields(self)
+            if fld.name in degree_fields
+        }
+        return _dc.replace(self, **repl)
+
+    def p_multigrid_preconditioner(
+        self,
+        min_n: int = 16,
+        dtype=jnp.float32,
+        low_iters: int = 10,
+        refresh: bool = False,
+        **interface_kw,
+    ):
+        """p-multigrid preconditioner for degree>=2 systems: damped-Jacobi
+        smoothing on the high-degree operator + a degree-1 rediscretized
+        correction (solved by the P1 twin's lattice-MG machinery) + the
+        multiplicative cut-band solve on the high-degree penalty block.
+        The TPU-native replacement for routing high-degree systems through
+        host SuperLU (see :mod:`phifem_tpu.pmg`); pair with
+        ``method="fgmres"`` — the inner Krylov iterations make it
+        nonstationary."""
+        from ..pmg import build_p_preconditioner
+
+        key = (
+            "pmg", min_n, str(dtype), low_iters,
+            repr(sorted(interface_kw.items())), self.op.data_version,
+        )
+        cache = getattr(self, "_mg_cache", None)
+        if cache is None:
+            cache = self._mg_cache = {}
+        if not refresh and key in cache:
+            return cache[key]
+        vc = build_p_preconditioner(
+            self, min_n=min_n, dtype=dtype, low_iters=low_iters,
+            **interface_kw,
+        )
+        cache[key] = vc
+        return vc
+
     def _bulk_neumann_fields(self) -> tuple:
         """Fields whose bulk lattice MG must use the FREE-boundary
         variable stencil (:class:`phifem_tpu.ops.lattice.LatticeVarMG`)

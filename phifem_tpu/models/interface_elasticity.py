@@ -218,6 +218,87 @@ def s5_rigid_modes(system: System, U, interp) -> tuple:
     return tuple(modes)
 
 
+def s5_fourier_modes(
+    system: System,
+    coords: np.ndarray,
+    cut_mask: np.ndarray,
+    in_mask: np.ndarray,
+    K: int,
+    fields=("u_in", "u_out"),
+) -> tuple:
+    """Interface-harmonic Fourier coarse modes for the S5 transmission
+    system (used by :meth:`InterfaceElasticity._coarse_modes`).
+
+    The flat bulk/band preconditioner contracts SMOOTH transmission modes
+    at only 1 - O(k h): an error field varying like ``e^{i k theta}``
+    along the interface couples the two bulks solely through the O(h)-thin
+    penalty band, so each application transfers an O(k h) fraction of it
+    (this is why outer iterations grew 15/34/80 at n=32/64/128 with the
+    rank-3 rigid coarse space).  The fix is the classical substructuring
+    one: put the low interface-frequency modes in the coarse space.  Here
+    they have CLOSED FORMS — for a star-shaped interface of mean radius R
+    about the cut-band centroid, the harmonic field matching ``cos(k
+    theta)`` on the interface is ``(r/R)^k cos(k theta)`` inside and
+    ``(R/r)^k cos(k theta)`` outside (exact for Laplace on a circle, a
+    uniformly good approximation for smooth star-shaped interfaces and for
+    the elasticity operator's angular modes) — so no eigen-solves or
+    harmonic extensions are needed, and the correction stays a rank-k
+    dense Galerkin solve (compile-bounded; the coupled re-discretized
+    hierarchy this replaces wedged remote compiles, CLAUDE.md round 3).
+
+    ``coords``: (num_scalar_dofs, 2) host DoF coordinates of the vector
+    space; ``cut_mask``: host bool mask of scalar DoFs touched by cut
+    cells (locates the interface: centroid = mean cut point, R = mean cut
+    radius); ``in_mask``: DoFs of u_in's region, used only to decide
+    which side is the interior of the interface (the reference's param1
+    levelset ``1 - r^2`` puts the "in" material OUTSIDE the circle —
+    sides cannot be assumed).  Returns ``4*(2K+1)`` mode pytrees:
+    {1, cos k.theta, sin k.theta} x {x,y component} x {interior-harmonic
+    ``(r/R)^k`` on the interior-side field, exterior-harmonic ``(R/r)^k``
+    on the other}.  The span contains each side's rigid translations and
+    (approximately) the rotation, and pairs of in/out modes sum to
+    collective motions the outer solve deflates — the Galerkin matrix is
+    therefore solved with a pseudo-inverse
+    (see :func:`phifem_tpu.mg.attach_coarse_correction`)."""
+    pts = coords[np.asarray(cut_mask)]
+    c = pts.mean(axis=0)
+    R = float(np.hypot(pts[:, 0] - c[0], pts[:, 1] - c[1]).mean())
+    R = max(R, 1e-12)
+    d = coords - c
+    r = np.hypot(d[:, 0], d[:, 1])
+    theta = np.arctan2(d[:, 1], d[:, 0])
+    # clip the radial profiles: rho**-k is singular at the centroid (an
+    # inactive exterior-side DoF anyway — attach_coarse_correction masks
+    # it — but keep the raw columns bounded for Galerkin conditioning)
+    rho = np.clip(r / R, 0.2, None)
+
+    f_in, f_out = fields
+    rin = float(r[np.asarray(in_mask)].mean()) if in_mask.any() else 0.0
+    f_int, f_ext = (f_in, f_out) if rin < R else (f_out, f_in)
+    w_int_of = lambda k: np.minimum(rho, 1.5) ** k
+    w_ext_of = lambda k: rho ** (-k)
+    modes = []
+    n = coords.shape[0]
+    for k in range(K + 1):
+        angs = [np.cos(k * theta)] if k == 0 else [
+            np.cos(k * theta), np.sin(k * theta)
+        ]
+        for a in angs:
+            for comp in (0, 1):
+                for fname, w in (
+                    (f_int, w_int_of(k)), (f_ext, w_ext_of(k))
+                ):
+                    vals = np.zeros((n, 2))
+                    vals[:, comp] = w * a
+                    m = {
+                        name: jnp.zeros(sp.dof_shape)
+                        for name, sp in system.fields.items()
+                    }
+                    m[fname] = jnp.asarray(vals)
+                    modes.append(m)
+    return tuple(modes)
+
+
 def s5_recombine(U, cell_tags: np.ndarray, u_in, u_out):
     """Reference recombination (``demo/interface-elasticity/main.py:296-323``):
     halve both halves on cut cells, zero each half's strictly-opposite-side
@@ -249,6 +330,9 @@ class InterfaceElasticity(SchemeBase):
     nu_in: float = 0.3
     E_out: float = 0.001
     nu_out: float = 0.3
+    # interface Fourier frequencies in the preconditioner's coarse space
+    # (see s5_fourier_modes); 0 falls back to the rank-3 rigid space
+    coarse_fourier_k: int = 8
 
     def setup(
         self,
@@ -357,14 +441,34 @@ class InterfaceElasticity(SchemeBase):
         return ("u_in", "u_out")
 
     def _coarse_modes(self) -> tuple:
-        """Rigid motions of u_in ALONE — the floating-subdomain coarse
-        space.  u_in has no Dirichlet row of its own (see rigid_modes), so
-        a relative rigid motion's energy sits entirely in the cut-band
-        penalty block: the bulk MG sees zero residual for it and the band
-        solve cannot update bulk DoFs, which is exactly the mode class
-        :func:`phifem_tpu.mg.attach_coarse_correction` exists for.
+        """Coarse space for the transmission system.
+
+        ``coarse_fourier_k > 0`` (default): interface-harmonic Fourier
+        modes up to that frequency on BOTH sides (see
+        :func:`s5_fourier_modes`) — the substructuring coarse space that
+        makes the flat preconditioner grid-independent.  Its span contains
+        the rigid translations/rotation of each side.
+
+        ``coarse_fourier_k == 0``: rigid motions of u_in ALONE — the
+        minimal floating-subdomain space.  u_in has no Dirichlet row of
+        its own (see rigid_modes), so a relative rigid motion's energy
+        sits entirely in the cut-band penalty block: the bulk MG sees zero
+        residual for it and the band solve cannot update bulk DoFs.
         (Collective (u_in, u_out) motions are the exact null space and are
         handled by deflation instead.)"""
+        if self.coarse_fourier_k > 0:
+            ct = np.asarray(self.cell_tags)
+            return s5_fourier_modes(
+                self.system,
+                self.U.dof_coords_np,
+                np.asarray(
+                    dof_mask_from_cells(self.U, np.where(ct == 2)[0])
+                ),
+                np.asarray(
+                    dof_mask_from_cells(self.U, np.where(ct == 1)[0])
+                ),
+                self.coarse_fourier_k,
+            )
         modes = []
         for m in self.rigid_modes():
             mm = dict(m)

@@ -89,6 +89,42 @@ class USchemeBase:
         self.result = res
         return res
 
+    def _p1_twin(self):
+        """Degree-1 twin on the same mesh (p-multigrid coarse problem);
+        level-set/detection degrees untouched."""
+        import dataclasses as _dc
+
+        degree_fields = {"primal_degree", "flux_degree", "auxiliary_degree"}
+        repl = {
+            fld.name: 1
+            for fld in _dc.fields(self)
+            if fld.name in degree_fields
+        }
+        return _dc.replace(self, **repl)
+
+    def p_multigrid_preconditioner(
+        self, low_iters: int = 30, refresh: bool = False, **interface_kw
+    ):
+        """p-multigrid preconditioner for degree>=2 unstructured systems:
+        high-degree Jacobi smoothing + an equilibrated inner-BiCGStab
+        degree-1 correction + the cut-band solve on the high-degree
+        penalty block (see :mod:`phifem_tpu.pmg`).  Nonstationary — pair
+        with ``method="fgmres"``."""
+        from ..pmg import build_p_preconditioner
+
+        key = (
+            "pmg", low_iters, repr(sorted(interface_kw.items())),
+            self.op.data_version,
+        )
+        cache = getattr(self, "_mg_cache", None)
+        if cache is None:
+            cache = self._mg_cache = {}
+        if not refresh and key in cache:
+            return cache[key]
+        vc = build_p_preconditioner(self, low_iters=low_iters, **interface_kw)
+        cache[key] = vc
+        return vc
+
     def l2_h1_errors(
         self,
         uh: UFunction,

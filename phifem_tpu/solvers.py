@@ -203,6 +203,14 @@ class SolveResult:
         self._stats = _stats  # device (2,) [relres, iters], or None
         self._tol = _tol
 
+    def __repr__(self) -> str:
+        if self._stats is not None:
+            return "SolveResult(stats deferred; access .residual to sync)"
+        return (
+            f"SolveResult(residual={self._residual}, "
+            f"iterations={self._iterations}, converged={self._converged})"
+        )
+
     def _pending(self):
         return self._stats
 
@@ -454,7 +462,13 @@ def solve(
     analogue of the null-pivot LU: the returned solution has zero component
     along the null basis, and the reported residual is the deflated one
     (the raw residual stalls at the RHS's inconsistency level — a
-    discretization-consistency term, not a solver failure)."""
+    discretization-consistency term, not a solver failure).
+
+    ``sync=False`` defers the (residual, iterations) stats fetch so it can
+    be packed with other host round trips via
+    :func:`phifem_tpu.utils.fetch_all` — Krylov methods only.  The direct
+    paths (``method="dense"``/``"sparse"``) factor on the host and return
+    eagerly-materialized results; ``sync`` is a no-op there."""
     if method in ("dense", "sparse"):
         matvec, diag, active = masked_operator(op, bcs)
         b = lift_rhs(op, b, bcs, active)

@@ -99,13 +99,16 @@ class _LazyTags:
         self.cells = np.asarray(cells)
         self.facets = np.asarray(facets)
         if int(ndeg) > 0:
+            # stacklevel=4 attributes the warning to the CALLER of the
+            # sync point (EntityTags.values / fetch_all), i.e. user code,
+            # not these internal _fetch/_absorb frames.
             warnings.warn(
                 f"{int(ndeg)} cell(s) have an identically-zero (or NaN) "
                 "level set at every detection point; they are classified "
                 "as cut (reference degenerate-cell convention, "
                 "mesh_scripts.py:121-133).",
                 RuntimeWarning,
-                stacklevel=2,
+                stacklevel=4,
             )
 
 
@@ -115,9 +118,21 @@ class EntityTags:
 
     ``values`` may be materialized host/device data, or deferred: tags
     produced by :func:`compute_tags_measures` stay on device until first
-    host access (see :class:`_LazyTags`)."""
+    host access (see :class:`_LazyTags`).
+
+    Instances compare by IDENTITY (not by tag values) — they are handles
+    to possibly-unfetched device data, so value ``==``/``hash`` would
+    force a host sync as a side effect of comparison."""
 
     __slots__ = ("dim", "_values", "_lazy")
+
+    def __repr__(self) -> str:
+        state = (
+            "deferred"
+            if self._values is None and self._lazy is not None
+            else f"n={self._values.shape[0]}"
+        )
+        return f"EntityTags(dim={self.dim!r}, {state})"
 
     def __init__(self, dim: str, values: Optional[Array] = None, _lazy=None):
         self.dim = dim  # "cell" | "facet"
@@ -519,6 +534,15 @@ def compute_tags_measures(
     (:class:`~phifem_tpu.umesh.UMesh` — the reference's XDMF-mesh path,
     ``tests/test_compute_meshtags.py:136-137``), in which case the
     vectorized host pipeline in :mod:`phifem_tpu.umesh` runs instead.
+
+    Diagnostics are FETCH-DEFERRED on the structured path: the
+    degenerate-cell ``RuntimeWarning`` (reference
+    ``mesh_scripts.py:121-133``) fires at the first host materialization
+    of the tags (``EntityTags.values`` / ``as_numpy`` /
+    :func:`phifem_tpu.utils.fetch_all`), not inside this call — a caller
+    that never fetches never pays the device round trip and never sees
+    the warning.  Under ``MODE=debug`` the invariant checks force the
+    fetch here, so the warning is eager again.
     """
     from .spaces import Function as _Function
     from .umesh import UMesh as _UMesh, compute_tags_measures_unstructured

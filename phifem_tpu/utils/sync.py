@@ -12,8 +12,10 @@ slice back.
 The protocol is duck-typed: an object participates by exposing
 ``_pending() -> pytree | None`` (device arrays still awaiting fetch, or
 ``None`` once materialized) and ``_absorb(host_values)``.  Participants:
-:class:`phifem_tpu.tagging.TagsMeasures` (and its ``EntityTags``) and
-:class:`phifem_tpu.solvers.SolveResult`.
+:class:`phifem_tpu.tagging.TagsMeasures` and
+:class:`phifem_tpu.solvers.SolveResult`.  (``EntityTags`` do not implement
+the protocol themselves — they ride their owning ``TagsMeasures``: pass the
+``TagsMeasures`` to ``fetch_all`` and both tag arrays materialize.)
 
 The reference has no analogue — dolfinx/PETSc run host-side so every value
 is already local; this is the TPU-native replacement for "assembly and KSP

@@ -20,3 +20,29 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import pytest  # noqa: E402  (after the env setup above)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run tests marked slow (full lane; ~1 h on 1 CPU)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running convergence/3D/unstructured study — excluded "
+        "from the default fast lane; run with --slow or PHIFEM_SLOW=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow") or os.environ.get("PHIFEM_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow lane (pass --slow or PHIFEM_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -265,9 +265,12 @@ def test_weak_dirichlet_p3_convergence():
         s.setup(phi, f, u_D=uex)
         s.assemble()
         # penalized degree-3 systems are too ill-conditioned for plain
-        # Jacobi-Krylov (residual floors ~1e-6, algebra-dominated errors);
-        # use the sparse-LU path — the reference solves everything with LU
-        r = s.solve(method="sparse")
+        # Jacobi-Krylov (residual floors ~1e-6); the ON-DEVICE p-multigrid
+        # preconditioner (phifem_tpu.pmg: degree-1 rediscretized coarse
+        # level + cut-band solve) converges fgmres to ~1e-12 in ~20 iters
+        vc = s.p_multigrid_preconditioner()
+        r = s.solve(method="fgmres", tol=1e-10, maxiter=200, precond=vc)
+        assert r.converged, r.residual
         e = s.l2_h1_errors(s.u_h, uex, region=(1, 2))
         errs.append(e["l2"])
     # O(h^4) = 16x per halving; require well above the P2 rate (8x)
@@ -294,10 +297,11 @@ def test_weak_dirichlet_q3_convergence():
         s = WeakDirichletPoisson(g, mode="bg", primal_degree=3, levelset_degree=3)
         s.setup(phi, f, u_D=uex)
         s.assemble()
-        # penalized degree-3 systems are too ill-conditioned for plain
-        # Jacobi-Krylov (residual floors ~1e-6, algebra-dominated errors);
-        # use the sparse-LU path — the reference solves everything with LU
-        r = s.solve(method="sparse")
+        # on-device p-multigrid instead of host sparse LU (see the P3
+        # twin above)
+        vc = s.p_multigrid_preconditioner()
+        r = s.solve(method="fgmres", tol=1e-10, maxiter=200, precond=vc)
+        assert r.converged, r.residual
         e = s.l2_h1_errors(s.u_h, uex, region=(1, 2))
         errs.append(e["l2"])
     assert errs[0] / errs[1] > 10.0, errs

@@ -210,13 +210,18 @@ def test_compute_tags_measures_entry3():
 
 
 # ------------------------------------------------------------- solve path
-def _weak3(n, uex, f, **kw):
+def _weak3(n, uex, f, method="bicgstab", **kw):
     m = UMesh3.box(n, n, n, BOX3)
     s = WeakDirichletPoissonU(m, mode="bg", **kw)
     s.setup(phi_sphere, f, u_D=uex)
     s.assemble()
-    r = s.solve(method="bicgstab", tol=1e-11, maxiter=3000)
-    assert r.converged, r.residual
+    if method == "pmg":
+        vc = s.p_multigrid_preconditioner()
+        r = s.solve(method="fgmres", tol=1e-11, maxiter=300, precond=vc)
+        assert r.converged, r.residual
+    else:
+        r = s.solve(method=method, tol=1e-11, maxiter=3000)
+        assert r.converged, r.residual
     return s.l2_h1_errors(s.u_h, uex)
 
 
@@ -231,7 +236,13 @@ def test_usolve3_s1_p2_quadratic_exact():
     """P2 tets reproduce quadratic solutions to solver tolerance (the 3D
     unstructured twin of the structured Q2 exactness test): stiffness,
     one-sided flux, penalty with u_D = u, cell stab (nonzero P2
-    Hessians) and C^1 ghost jumps are all exactly consistent."""
+    Hessians) and C^1 ghost jumps are all exactly consistent.
+
+    Rides the ON-DEVICE p-multigrid path (phifem_tpu.pmg): plain
+    Jacobi-BiCGStab stagnates at ~5.6e-10 relative residual on the
+    P2-tet penalized system (the degree>=2 Krylov floor), above the 1e-8
+    error bound this exactness test needs headroom for; p-MG-fgmres
+    reaches ~7e-14 in ~20 iterations (measured n=5/8)."""
     uex = lambda x: (
         1.0
         + 2.0 * x[..., 0]
@@ -241,7 +252,7 @@ def test_usolve3_s1_p2_quadratic_exact():
         - 0.25 * x[..., 0] * x[..., 2]
     )
     fq = lambda x: -2.0 * jnp.ones(x.shape[:-1])  # -lap uex
-    e = _weak3(5, uex, fq, primal_degree=2, levelset_degree=2)
+    e = _weak3(5, uex, fq, method="pmg", primal_degree=2, levelset_degree=2)
     assert e["l2"] < 1e-8 and e["h10"] < 1e-8, e
 
 
