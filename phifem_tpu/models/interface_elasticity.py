@@ -331,8 +331,12 @@ class InterfaceElasticity(SchemeBase):
     E_out: float = 0.001
     nu_out: float = 0.3
     # interface Fourier frequencies in the preconditioner's coarse space
-    # (see s5_fourier_modes); 0 falls back to the rank-3 rigid space
-    coarse_fourier_k: int = 8
+    # (see s5_fourier_modes); None = auto-scale clip(n/4, 8, 64) — the
+    # poorly-contracted transmission frequencies reach ~kh = O(1), so K
+    # must grow with n (measured outer iters 13/16/25/45 at n=32..256
+    # with K=n/4, vs 15/34/80/~190 with the rank-3 rigid space);
+    # 0 falls back to the rank-3 rigid space
+    coarse_fourier_k: Optional[int] = None
 
     def setup(
         self,
@@ -456,7 +460,10 @@ class InterfaceElasticity(SchemeBase):
         residual for it and the band solve cannot update bulk DoFs.
         (Collective (u_in, u_out) motions are the exact null space and are
         handled by deflation instead.)"""
-        if self.coarse_fourier_k > 0:
+        K = self.coarse_fourier_k
+        if K is None:
+            K = int(np.clip(max(self.grid.nx, self.grid.ny) // 4, 8, 64))
+        if K > 0:
             ct = np.asarray(self.cell_tags)
             return s5_fourier_modes(
                 self.system,
@@ -467,7 +474,7 @@ class InterfaceElasticity(SchemeBase):
                 np.asarray(
                     dof_mask_from_cells(self.U, np.where(ct == 1)[0])
                 ),
-                self.coarse_fourier_k,
+                K,
             )
         modes = []
         for m in self.rigid_modes():

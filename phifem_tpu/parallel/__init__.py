@@ -22,7 +22,12 @@ from .sharding import (
     sharded_matvec_fn,
     sharded_solve,
 )
-from .uop import ElementShardedOperator, element_sharded_solve
+from .uop import (
+    ElementShardedOperator,
+    PartitionedUOperator,
+    element_sharded_solve,
+    partitioned_solve,
+)
 
 __all__ = [
     "HaloOperator",
@@ -34,7 +39,9 @@ __all__ = [
     "sharded_lattice3_solve",
     "UnsupportedFieldError",
     "ElementShardedOperator",
+    "PartitionedUOperator",
     "element_sharded_solve",
+    "partitioned_solve",
     "halo_solve",
     "make_mesh",
     "shard_vector",

@@ -243,29 +243,34 @@ class SolveResult:
         return self._converged
 
 
-def _pcg(matvec, b, x0, *, tol, atol, maxiter, M):
+def _pcg(matvec, b, x0, *, tol, atol, maxiter, M, dot=None):
     """Preconditioned CG on pytrees as one ``lax.while_loop`` with an
     iteration counter (the PETSc ``KSPGetIterationNumber`` analogue the
-    reference reads implicitly from its KSP solves)."""
-    bnorm2 = tree_dot32(b, b)
+    reference reads implicitly from its KSP solves).
+
+    ``dot`` overrides the inner product (default ``tree_dot32``) — the
+    partitioned SPMD path passes a ``lax.psum``-reducing one so the
+    recurrence runs on device-local blocks inside ``shard_map``."""
+    dot = tree_dot32 if dot is None else dot
+    bnorm2 = dot(b, b)
     target2 = jnp.maximum(tol * tol * bnorm2, jnp.asarray(atol) ** 2)
 
     r0 = jax.tree.map(lambda bi, ai: bi - ai, b, matvec(x0))
     z0 = M(r0)
-    state = (x0, r0, z0, z0, tree_dot32(r0, z0), jnp.asarray(0, jnp.int32))
+    state = (x0, r0, z0, z0, dot(r0, z0), jnp.asarray(0, jnp.int32))
 
     def cond(st):
         x, r, p, z, rz, it = st
-        return jnp.logical_and(tree_dot32(r, r) > target2, it < maxiter)
+        return jnp.logical_and(dot(r, r) > target2, it < maxiter)
 
     def body(st):
         x, r, p, z, rz, it = st
         Ap = matvec(p)
-        alpha = rz / tree_dot32(p, Ap)
+        alpha = rz / dot(p, Ap)
         x = tree_axpy(alpha, p, x)
         r = tree_axpy(-alpha, Ap, r)
         z = M(r)
-        rz_new = tree_dot32(r, z)
+        rz_new = dot(r, z)
         p = tree_axpy(rz_new / rz, p, z)
         return x, r, p, z, rz_new, it + 1
 
@@ -273,7 +278,7 @@ def _pcg(matvec, b, x0, *, tol, atol, maxiter, M):
     return x, it
 
 
-def _pbicgstab(matvec, b, x0, *, tol, atol, maxiter, M):
+def _pbicgstab(matvec, b, x0, *, tol, atol, maxiter, M, dot=None):
     """Preconditioned BiCGStab on pytrees: one ``lax.while_loop``, counted.
 
     Matches the classical recurrence (right-preconditioned form); exits on
@@ -283,15 +288,18 @@ def _pbicgstab(matvec, b, x0, *, tol, atol, maxiter, M):
     orthogonality after stagnation — observed on the preconditioned S5-3D
     system around 1e-8 relative) RESTARTS the recurrence with rhat = r
     instead of wandering.  Returns the BEST iterate seen, not the last
-    one, so a late breakdown cannot destroy a near-converged solve."""
-    bnorm2 = tree_dot32(b, b)
+    one, so a late breakdown cannot destroy a near-converged solve.
+
+    ``dot`` as in :func:`_pcg`: overridable inner product for SPMD use."""
+    dot = tree_dot32 if dot is None else dot
+    bnorm2 = dot(b, b)
     target2 = jnp.maximum(tol * tol * bnorm2, jnp.asarray(atol) ** 2)
 
     r0 = jax.tree.map(lambda bi, ai: bi - ai, b, matvec(x0))
     rhat = r0
     zeros = jax.tree.map(jnp.zeros_like, b)
     one = jnp.asarray(1.0, jax.tree.leaves(b)[0].dtype)
-    rr0 = tree_dot32(r0, r0)
+    rr0 = dot(r0, r0)
     state = (
         x0, r0, rhat, zeros, zeros, one, one, one,
         jnp.asarray(0, jnp.int32), x0, rr0,
@@ -299,15 +307,15 @@ def _pbicgstab(matvec, b, x0, *, tol, atol, maxiter, M):
 
     def cond(st):
         x, r, rhat, p, v, rho, alpha, omega, it, xb, rrb = st
-        rr = tree_dot32(r, r)
+        rr = dot(r, r)
         ok = jnp.logical_and(jnp.isfinite(rr), rr < 1e16 * (rrb + 1e-300))
         return jnp.logical_and(jnp.logical_and(rr > target2, it < maxiter), ok)
 
     def body(st):
         x, r, rhat, p, v, rho, alpha, omega, it, xb, rrb = st
-        rho_new = tree_dot32(rhat, r)
-        rr_cur = tree_dot32(r, r)
-        rhat2 = tree_dot32(rhat, rhat)
+        rho_new = dot(rhat, r)
+        rr_cur = dot(r, r)
+        rhat2 = dot(rhat, rhat)
         restart = jnp.abs(rho_new) < 1e-12 * jnp.sqrt(rr_cur * rhat2)
         rhat = jax.tree.map(
             lambda hi, ri: jnp.where(restart, ri, hi), rhat, r
@@ -323,16 +331,16 @@ def _pbicgstab(matvec, b, x0, *, tol, atol, maxiter, M):
         )
         phat = M(p)
         v = matvec(phat)
-        alpha = rho_new / tree_dot32(rhat, v)
+        alpha = rho_new / dot(rhat, v)
         s = tree_axpy(-alpha, v, r)
         shat = M(s)
         t = matvec(shat)
-        omega = tree_dot32(t, s) / tree_dot32(t, t)
+        omega = dot(t, s) / dot(t, t)
         x = jax.tree.map(
             lambda xi, ph, sh: xi + alpha * ph + omega * sh, x, phat, shat
         )
         r = tree_axpy(-omega, t, s)
-        rr = tree_dot32(r, r)
+        rr = dot(r, r)
         better = jnp.logical_and(jnp.isfinite(rr), rr < rrb)
         xb = jax.tree.map(
             lambda xi, xbi: jnp.where(better, xi, xbi), x, xb

@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--ns", default="32,64,128")
     ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--maxiter", type=int, default=400)
+    ap.add_argument("--sweeps", type=int, default=None)
     args = ap.parse_args()
 
     import phifem_tpu as pf
@@ -47,7 +48,8 @@ def main():
         s.setup(D.levelset, D.source_term, D.exact_solution)
         s.assemble()
         t0 = time.perf_counter()
-        vc = s.lattice_preconditioner(coupled=False)
+        kw = {} if args.sweeps is None else {"sweeps": args.sweeps}
+        vc = s.lattice_preconditioner(coupled=False, **kw)
         t_pc = time.perf_counter() - t0
         t0 = time.perf_counter()
         r = s.solve(

@@ -376,3 +376,41 @@ def test_neumann_q2_convergence():
     # the full O(h^3)
     assert rate > 2.2, errs
     assert errs[1]["l2"] < 5e-3, errs
+
+
+def test_interface_elasticity_iteration_scaling():
+    """S5 outer-iteration growth under the interface-Fourier coarse space
+    (s5_fourier_modes, K auto-scaled ~n/4): the flat preconditioner's
+    transmission modes contract at 1-O(kh), so without the coarse space
+    outer iterations grow ~2.3x per grid doubling (15/34/80 measured at
+    n=32/64/128, round 3); with it the growth factor must stay <= 1.5
+    on this doubling (13 -> 16 measured; full record through n=256 in
+    docs/s5_preconditioner.md).  VERDICT round-3 item 3."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "s5_data_scaling",
+        os.path.join(
+            os.path.dirname(__file__), "..", "demo", "interface-elasticity",
+            "data.py",
+        ),
+    )
+    D = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(D)
+
+    iters = {}
+    for n in (32, 64):
+        g = pf.Grid(n, n, ((-1.5, -1.5), (1.5, 1.5)), "triangle")
+        s = InterfaceElasticity(
+            g, mode="bg", E_in=D.E_in, nu_in=D.nu_in,
+            E_out=D.E_out, nu_out=D.nu_out,
+        )
+        s.setup(D.levelset, D.source_term, D.exact_solution)
+        s.assemble()
+        vc = s.lattice_preconditioner(coupled=False)
+        r = s.solve(method="bicgstab", tol=1e-8, maxiter=200, precond=vc)
+        assert r.converged, (n, r.residual)
+        iters[n] = r.iterations
+    assert iters[64] <= 1.5 * iters[32] + 1, iters
+    assert iters[64] <= 25, iters
