@@ -219,23 +219,50 @@ def _all_configs(mesh, what):
 
 
 @pytest.mark.parametrize("what", ["cells", "facets"])
-def test_disk_golden_signature_parity(what):
-    """Permutation-free golden parity on the unstructured disk mesh: the
-    multiset of per-entity tag signatures across ALL 24 committed
-    configurations must match the reference's exactly (see module
-    docstring), and every per-config histogram must match exactly."""
+def test_disk_golden_per_entity_parity(what):
+    """PER-ENTITY index-exact golden parity on the imported disk mesh —
+    the same assertion the reference makes on its own tags
+    (``tests/test_compute_meshtags.py:239-243``).
+
+    dolfinx reorders cells on import (GPS on the dual graph) and numbers
+    vertices/facets from the reordered cells; ``dolfinx_order``
+    reconstructs that numbering exactly (validated by its identity fixed
+    point on the three dolfinx-written structured meshes — see
+    ``test_gps_fixed_point_on_dolfinx_written_meshes``).  Every one of
+    the 24 committed configurations must then match entity for entity,
+    for cells AND facets — strictly stronger than the round-3 signature
+    multiset, which could in principle hide compensating
+    misclassifications within a signature class."""
+    from dolfinx_order import dolfinx_entity_maps
+
     mesh = _disk()
     M, G = _all_configs(mesh, what)
     assert M.shape == G.shape
-    # exact per-config histograms
-    for j in range(M.shape[1]):
-        np.testing.assert_array_equal(
-            np.bincount(M[:, j], minlength=8), np.bincount(G[:, j], minlength=8)
-        )
-    # joint signature multisets
-    Ms = M[np.lexsort(M.T[::-1])]
-    Gs = G[np.lexsort(G.T[::-1])]
-    np.testing.assert_array_equal(Ms, Gs)
+    cell_order, facet_map, _ = dolfinx_entity_maps(
+        np.asarray(mesh.cells), np.asarray(mesh.facets)
+    )
+    perm = cell_order if what == "cells" else facet_map
+    np.testing.assert_array_equal(M[perm], G)
+
+
+def test_gps_fixed_point_on_dolfinx_written_meshes():
+    """The reconstructed GPS reorder must be the IDENTITY on the three
+    structured h5 meshes, which were written by dolfinx in its own
+    internal order (re-importing re-reorders; a deterministic reorder is
+    a fixed point on its own output) — the independent oracle pinning the
+    reconstruction beyond the disk tag configs."""
+    import h5py
+
+    from dolfinx_order import gps_cell_order
+
+    for name in ("coarse_square", "square_tri", "square_quad"):
+        path = os.path.join(REF, name + ".h5")
+        if not os.path.exists(path):
+            pytest.skip("reference meshes missing")
+        with h5py.File(path) as f:
+            topo = np.asarray(f["Mesh/mesh/topology"])
+        o = gps_cell_order(topo)
+        np.testing.assert_array_equal(o, np.arange(len(o)), err_msg=name)
 
 
 @pytest.mark.parametrize("case,ls", DISK_CASES, ids=[c[0] for c in DISK_CASES])
