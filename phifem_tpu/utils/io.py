@@ -304,3 +304,45 @@ def write_vti(
     lines += ["    </Piece>", "  </ImageData>", "</VTKFile>", ""]
     with open(path, "w") as f:
         f.write("\n".join(lines))
+
+
+def save_tags(path, mesh, tags) -> None:
+    """Dump entity tags for visual debugging — the analogue of the
+    reference's test util (``tests/utils_test.py:6-37``: MeshTags written
+    as a DG0 function to XDMF).  Cell tags become per-cell VTU data on
+    either a structured :class:`~phifem_tpu.grid.Grid` or an imported
+    ``UMesh``/``UMesh3``."""
+    from ..grid import Grid as _Grid
+
+    values = np.asarray(getattr(tags, "values", tags))
+    if isinstance(mesh, _Grid):
+        write_vtu(path, mesh, cell_data={"tags": values})
+    else:
+        write_vtu_umesh(path, mesh, cell_data={"tags": values})
+
+
+def save_levelset(path, mesh, levelset) -> None:
+    """Dump a callable (or discrete) level set as a vertex field — the
+    analogue of the reference's ``save_levelset`` test util
+    (``tests/utils_test.py:40-57``)."""
+    import jax.numpy as jnp
+
+    from ..grid import Grid as _Grid
+
+    if isinstance(mesh, _Grid):
+        pts = np.asarray(mesh.vertex_coords)
+    else:
+        pts = np.asarray(mesh.verts)
+    if callable(levelset):
+        vals = np.asarray(levelset(jnp.asarray(pts)))
+    else:
+        vals = np.asarray(getattr(levelset, "data", levelset))[: len(pts)]
+    if isinstance(mesh, _Grid):
+        from ..spaces import Function, Space
+
+        write_vtu(
+            path, mesh,
+            point_data={"phi": Function(Space.lagrange(mesh, 1), jnp.asarray(vals))},
+        )
+    else:
+        write_vtu_umesh(path, mesh, point_data={"phi": vals})

@@ -174,3 +174,27 @@ def test_pfgmres_flexible_nonlinear_preconditioner():
         np.abs(np.asarray(x["u"]) - xd).max()
     )
     assert int(it) <= 300
+
+
+def test_save_tags_and_levelset(tmp_path):
+    """Debug-dump helpers (reference tests/utils_test.py analogue): cell
+    tags as VTU cell data, levelsets as vertex fields, on both mesh
+    backends."""
+    import jax.numpy as jnp
+
+    import phifem_tpu as pf
+    from phifem_tpu.umesh import UMesh
+    from phifem_tpu.utils import save_levelset, save_tags
+
+    g = pf.Grid(6, 6, ((-1.0, -1.0), (1.0, 1.0)), "triangle")
+    phi = lambda x: x[..., 0] ** 2 + x[..., 1] ** 2 - 0.4
+    res = pf.compute_tags_measures(g, phi, 1, box_mode=True)
+    save_tags(tmp_path / "tags.vtu", g, res.cells_tags)
+    save_levelset(tmp_path / "phi.vtu", g, phi)
+    um, _ = UMesh.from_grid(g)
+    resu = pf.compute_tags_measures(um, phi, 1, box_mode=True)
+    save_tags(tmp_path / "tags_u.vtu", um, resu.cells_tags)
+    save_levelset(tmp_path / "phi_u.vtu", um, phi)
+    for name in ("tags.vtu", "phi.vtu", "tags_u.vtu", "phi_u.vtu"):
+        text = (tmp_path / name).read_text()
+        assert "<VTKFile" in text and "DataArray" in text
