@@ -665,6 +665,64 @@ def attach_coarse_correction(vc: VCycle, op, active, vectors, bcs=()) -> VCycle:
     return vc
 
 
+def attach_coarse_correction_device(vc: VCycle, op, active, z_builder, bcs=()) -> VCycle:
+    """Device-resident variant of :func:`attach_coarse_correction`.
+
+    ``z_builder() -> (k, n_flat) jnp array`` constructs the raw coarse
+    basis ON DEVICE (closed-form from iotas/coordinate lattices — e.g.
+    the S5 interface-harmonic Fourier modes).  Everything else — masking
+    to active DoFs, row normalization, the k matvecs for A Z (one
+    ``lax.map`` over rows), the Galerkin matrix and its pseudo-inverse —
+    runs inside ONE jitted program, so NOTHING of size O(k * n) ever
+    crosses the host<->device tunnel (the host-built path uploads
+    ~2 k n doubles: 600 MB and >15 min through the remote-device tunnel
+    at S5 bench sizes — measured, killed)."""
+    from .solvers import masked_operator
+
+    matvec, _, _ = masked_operator(op, bcs)
+    names = list(op.system.fields)
+    shapes = [tuple(op.system.fields[n].dof_shape) for n in names]
+    sizes = [int(np.prod(sh)) for sh in shapes]
+    if vc._flat_meta is None:
+        vc._flat_meta = (names, shapes, sizes)
+
+    act_flat = jnp.concatenate(
+        [
+            jnp.broadcast_to(jnp.asarray(active[n]), sh).reshape(-1)
+            for n, sh in zip(names, shapes)
+        ]
+    )
+
+    def unflat(z):
+        out, cur = {}, 0
+        for n, sh, sz in zip(names, shapes, sizes):
+            out[n] = z[cur : cur + sz].reshape(sh)
+            cur += sz
+        return out
+
+    def flat(d):
+        return jnp.concatenate([d[n].reshape(-1) for n in names])
+
+    @jax.jit
+    def _build():
+        Z = z_builder()
+        Z = jnp.where(act_flat[None, :], Z, 0.0)
+        nrm = jnp.sqrt(jnp.sum(Z * Z, axis=1, keepdims=True))
+        Z = Z / jnp.maximum(nrm, 1e-300)
+        AZ = jax.lax.map(lambda z: flat(matvec(unflat(z))), Z)
+        return Z, Z @ AZ.T
+
+    vc.coarse_Z, G = _build()
+    # pinv of the TINY (k, k) Galerkin matrix on the HOST: one 540 KB
+    # fetch beats compiling an f64 SVD on device (the remote compiler was
+    # OOM-killed compiling it inside the S5 bench solve graph)
+    vc.coarse_Ginv = jnp.asarray(
+        np.linalg.pinv(np.asarray(G), rcond=1e-10)
+    )
+    vc._version += 1
+    return vc
+
+
 def attach_interface_solve(
     vc: VCycle,
     op,

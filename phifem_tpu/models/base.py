@@ -277,11 +277,24 @@ class SchemeBase:
                 "sweeps_coef", getattr(self, "_iface_sweeps_coef", 0.2)
             )
             vc = attach_interface_solve(vc, self.op, active_full, **interface_kw)
-        modes = self._coarse_modes()
-        if modes:
-            from ..mg import attach_coarse_correction
+        builder = self._coarse_matrix_builder()
+        if builder is not None:
+            # device-side basis construction: nothing of size O(k * n)
+            # crosses the host<->device tunnel (see
+            # mg.attach_coarse_correction_device)
+            from ..mg import attach_coarse_correction_device
 
-            vc = attach_coarse_correction(vc, self.op, active_full, modes, bcs)
+            vc = attach_coarse_correction_device(
+                vc, self.op, active_full, builder[0], bcs
+            )
+        else:
+            modes = self._coarse_modes()
+            if modes:
+                from ..mg import attach_coarse_correction
+
+                vc = attach_coarse_correction(
+                    vc, self.op, active_full, modes, bcs
+                )
         cache[key] = vc
         return vc
 
@@ -376,6 +389,12 @@ class SchemeBase:
         Schemes with floating (ungrounded) subdomains override — see
         ``InterfaceElasticity._coarse_modes``."""
         return ()
+
+    def _coarse_matrix_builder(self):
+        """Optional device-side coarse-basis builder ``(z_builder, k)``
+        (preferred over :meth:`_coarse_modes` — no host mode upload; see
+        :func:`phifem_tpu.mg.attach_coarse_correction_device`)."""
+        return None
 
     def _p1_twin(self):
         """The same scheme with every FE degree lowered to 1 (level-set /

@@ -299,6 +299,70 @@ def s5_fourier_modes(
     return tuple(modes)
 
 
+def s5_fourier_builder(system, grid, cut_pts: np.ndarray, rin: float, K: int):
+    """DEVICE-side construction of the S5 Fourier coarse basis.
+
+    Returns ``(z_builder, nmodes)`` for
+    :func:`phifem_tpu.mg.attach_coarse_correction_device`: the same
+    closed-form interface-harmonic modes as :func:`s5_fourier_modes`, but
+    built inside jit from the grid's device coordinate lattice — only
+    three SCALARS (centroid, radius, side flag) come from the host.  The
+    host-built pytree path uploads O(k * ndofs) mode data through the
+    device tunnel (~600 MB, >15 min at bench sizes — measured); this
+    builds the identical span for free.
+
+    Only P1 vector displacement fields are populated (the flux/auxiliary
+    fields live on the cut band, which the band solve owns)."""
+    c = cut_pts.mean(axis=0)
+    R = max(float(np.hypot(cut_pts[:, 0] - c[0], cut_pts[:, 1] - c[1]).mean()), 1e-12)
+    in_is_interior = rin < R
+    names = list(system.fields)
+    sizes = [int(np.prod(system.fields[n].dof_shape)) for n in names]
+    N = system.fields["u_in"].dof_shape[0]
+    nmodes = 4 * (2 * K + 1)
+
+    def z_builder():
+        xy = grid.vertex_coords.astype(jnp.float64)  # (N, 2) device
+        d = xy - jnp.asarray(c)
+        r = jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)
+        theta = jnp.arctan2(d[:, 1], d[:, 0])
+        rho = jnp.clip(r / R, 0.2, None)
+        ks = jnp.arange(K + 1, dtype=xy.dtype)
+        ang = jnp.concatenate(
+            [
+                jnp.cos(ks[:, None] * theta[None, :]),
+                jnp.sin(ks[1:, None] * theta[None, :]),
+            ]
+        )  # (A, N), A = 2K+1
+        k_of = jnp.concatenate([ks, ks[1:]])  # (A,)
+        w_int = jnp.minimum(rho, 1.5)[None, :] ** k_of[:, None]
+        w_ext = rho[None, :] ** (-k_of[:, None])
+        base_int = ang * w_int  # (A, N)
+        base_ext = ang * w_ext
+        A = base_int.shape[0]
+        # mode axis order: (angular a, side in {int, ext}, component)
+        eye = jnp.eye(2, dtype=xy.dtype)
+        blk = jnp.stack([base_int, base_ext], axis=1)  # (A, side, N)
+        vec5 = (
+            blk[:, :, None, :, None] * eye[None, None, :, None, :]
+        )  # (A, side, comp, N, 2)
+        int_field = "u_in" if in_is_interior else "u_out"
+        rows = []
+        for n, sz in zip(names, sizes):
+            if n in ("u_in", "u_out"):
+                side = 0 if n == int_field else 1
+                full = jnp.zeros((A, 2, 2, N * 2), xy.dtype)
+                full = full.at[:, side].set(
+                    vec5[:, side].reshape(A, 2, N * 2)
+                )
+                rows.append(full.reshape(nmodes, N * 2))
+            else:
+                rows.append(jnp.zeros((nmodes, sz), xy.dtype))
+        return jnp.concatenate(rows, axis=1)
+
+    return z_builder, nmodes
+
+
 def s5_recombine(U, cell_tags: np.ndarray, u_in, u_out):
     """Reference recombination (``demo/interface-elasticity/main.py:296-323``):
     halve both halves on cut cells, zero each half's strictly-opposite-side
@@ -444,6 +508,38 @@ class InterfaceElasticity(SchemeBase):
         free-boundary variable stencil (see SchemeBase)."""
         return ("u_in", "u_out")
 
+    def _resolved_fourier_k(self) -> int:
+        K = self.coarse_fourier_k
+        if K is None:
+            K = int(np.clip(max(self.grid.nx, self.grid.ny) // 4, 8, 64))
+        return K
+
+    def _coarse_matrix_builder(self):
+        """Device-side coarse-basis builder (preferred by
+        ``SchemeBase.lattice_preconditioner`` over the host pytree path:
+        no O(k * ndofs) host->device upload — see
+        :func:`s5_fourier_builder`)."""
+        K = self._resolved_fourier_k()
+        if K <= 0:
+            return None
+        ct = np.asarray(self.cell_tags)
+        coords = self.U.dof_coords_np
+        cut_pts = coords[
+            np.asarray(dof_mask_from_cells(self.U, np.where(ct == 2)[0]))
+        ]
+        if cut_pts.shape[0] == 0:
+            return None
+        in_pts = coords[
+            np.asarray(dof_mask_from_cells(self.U, np.where(ct == 1)[0]))
+        ]
+        c = cut_pts.mean(axis=0)
+        rin = (
+            float(np.hypot(in_pts[:, 0] - c[0], in_pts[:, 1] - c[1]).mean())
+            if len(in_pts)
+            else 0.0
+        )
+        return s5_fourier_builder(self.system, self.grid, cut_pts, rin, K)
+
     def _coarse_modes(self) -> tuple:
         """Coarse space for the transmission system.
 
@@ -460,9 +556,7 @@ class InterfaceElasticity(SchemeBase):
         residual for it and the band solve cannot update bulk DoFs.
         (Collective (u_in, u_out) motions are the exact null space and are
         handled by deflation instead.)"""
-        K = self.coarse_fourier_k
-        if K is None:
-            K = int(np.clip(max(self.grid.nx, self.grid.ny) // 4, 8, 64))
+        K = self._resolved_fourier_k()
         if K > 0:
             ct = np.asarray(self.cell_tags)
             return s5_fourier_modes(

@@ -39,10 +39,25 @@ def pytest_configure(config):
     )
 
 
+def _slow_manifest():
+    """Measured-duration slow list (node ids, one per line): every test
+    whose setup+call exceeded 15 s in the last full-suite run
+    (`PHIFEM_SLOW=1 pytest -q --durations=0`).  Regenerate by re-running
+    the full suite and updating tests/slow_tests.txt; explicit
+    ``@pytest.mark.slow`` marks work too."""
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(path) as f:
+            return {l.strip() for l in f if l.strip()}
+    except OSError:
+        return set()
+
+
 def pytest_collection_modifyitems(config, items):
     if config.getoption("--slow") or os.environ.get("PHIFEM_SLOW") == "1":
         return
+    manifest = _slow_manifest()
     skip = pytest.mark.skip(reason="slow lane (pass --slow or PHIFEM_SLOW=1)")
     for item in items:
-        if "slow" in item.keywords:
+        if "slow" in item.keywords or item.nodeid in manifest:
             item.add_marker(skip)
