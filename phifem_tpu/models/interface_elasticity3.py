@@ -570,6 +570,7 @@ class InterfaceElasticity3:
         use_mg: bool = True,
         use_iface: bool = True,
         use_coarse: bool = True,
+        coarse_poly_degree: int = 2,
         inner: str = "krylov",
         inner_omega: float = 1.0,
     ):
@@ -724,19 +725,60 @@ class InterfaceElasticity3:
         # independent with it, mg.attach_coarse_correction's rationale).
         # Collective motions are the EXACT null space, handled by
         # deflation.
-        Zs, AZs = [], []
+        base_modes = []
         for m in self.rigid_modes():
             mm = dict(m)
             mm["ui"] = jnp.zeros_like(m["ui"])
+            base_modes.append(mm)
+        # per-side polynomial enrichment (3D analogue of the 2D Fourier
+        # coarse space, docs/s5_preconditioner.md): Cartesian monomials up
+        # to coarse_poly_degree per displacement component per side — the
+        # span contains the solid harmonics r^l Y_lm up to that degree,
+        # i.e. the smooth transmission modes the bulk/band splitting
+        # contracts at only 1-O(h).  Measured (n=16, contrast 1000,
+        # deflated FGMRES tol 1e-8): 100 outer iterations with the rank-6
+        # rigid space alone; see docs/s53d_convergence.md.
+        if coarse_poly_degree > 0:
+            x3, y3, z3 = g.vertex_coords_lattice(float_dtype())
+            xs3 = jnp.broadcast_to(x3, (D, R, C)).reshape(-1)
+            ys3 = jnp.broadcast_to(y3, (D, R, C)).reshape(-1)
+            zs3 = jnp.broadcast_to(z3, (D, R, C)).reshape(-1)
+            zero27 = {
+                "ui": jnp.zeros(3 * N, float_dtype()),
+                "uo": jnp.zeros(3 * N, float_dtype()),
+                "yi": jnp.zeros(9 * N, float_dtype()),
+                "yo": jnp.zeros(9 * N, float_dtype()),
+                "p": jnp.zeros(3 * N, float_dtype()),
+            }
+            polys = []
+            Ldeg = coarse_poly_degree
+            for a in range(Ldeg + 1):
+                for b in range(Ldeg + 1 - a):
+                    for c in range(Ldeg + 1 - a - b):
+                        polys.append(xs3**a * ys3**b * zs3**c)
+            for side in ("ui", "uo"):
+                for comp in range(3):
+                    for p3 in polys:
+                        mm = dict(zero27)
+                        mm[side] = (
+                            jnp.zeros(3 * N, float_dtype())
+                            .at[comp * N : (comp + 1) * N]
+                            .set(p3)
+                        )
+                        base_modes.append(mm)
+        Zs, AZs = [], []
+        for mm in base_modes:
             mm = {
                 k: jnp.where(active[k], mm[k], 0.0) for k in mm
             }
-            Zs.append(np.asarray(flat(mm), np.float64))
-            AZs.append(np.asarray(flat(self.matvec(mm)), np.float64))
+            zf = np.asarray(flat(mm), np.float64)
+            nrm = max(np.linalg.norm(zf), 1e-300)
+            Zs.append(zf / nrm)
+            AZs.append(np.asarray(flat(self.matvec(mm)), np.float64) / nrm)
         Z_np = np.stack(Zs)
         G = Z_np @ np.stack(AZs).T
         Z = jnp.asarray(Z_np)
-        Ginv = jnp.asarray(np.linalg.pinv(G, rcond=1e-12))
+        Ginv = jnp.asarray(np.linalg.pinv(G, rcond=1e-10))
 
         def bulk_cycle(r_u, mg, bulk_flat):
             r3 = jnp.where(bulk_flat, r_u, 0.0).reshape(3, D, R, C)
