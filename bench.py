@@ -523,6 +523,30 @@ def _run_section_inproc(key: str) -> dict:
     return fn(int(os.environ.get(size_env, str(size_default))))
 
 
+def _probe_tunnel(max_wait_s: float = 360.0) -> str:
+    """After a killed child, check the device tunnel with a trivial fetch in
+    a fresh bounded subprocess; retry with backoff until it answers or
+    ``max_wait_s`` elapses.  Returns '' if healthy, else a description."""
+    probe = "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones(8))))"
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", probe],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                timeout=60, text=True,
+            )
+            if p.returncode == 0 and "8.0" in p.stdout:
+                return "" if attempt == 0 else f"recovered after {attempt} retries"
+        except subprocess.TimeoutExpired:
+            pass
+        attempt += 1
+        if time.monotonic() >= deadline:
+            return f"still wedged after {max_wait_s:.0f}s"
+        time.sleep(min(30.0 * attempt, 60.0))
+
+
 def _run_section_subproc(key: str, timeout_s: float):
     """Run one section in a bounded child process.  Returns (data, error):
     a wedged remote compile or tunnel stall kills only the child; the
@@ -535,7 +559,15 @@ def _run_section_subproc(key: str, timeout_s: float):
             cmd, stdout=subprocess.PIPE, timeout=timeout_s, text=True
         )
     except subprocess.TimeoutExpired:
-        return None, f"timeout after {timeout_s:.0f}s"
+        # Killing a JAX client mid-handshake can wedge the axon tunnel for
+        # ~5 min (CLAUDE.md); probe before the next section launches so a
+        # wedge is waited out here (and recorded) instead of cascading
+        # spurious timeouts into every subsequent section.
+        wedge = _probe_tunnel()
+        err = f"timeout after {timeout_s:.0f}s"
+        if wedge:
+            err += f"; tunnel probe: {wedge}"
+        return None, err
     if proc.returncode != 0:
         return None, f"rc={proc.returncode}; stdout tail: {proc.stdout[-800:]}"
     for line in reversed(proc.stdout.strip().splitlines()):

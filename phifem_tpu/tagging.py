@@ -127,11 +127,12 @@ class EntityTags:
     __slots__ = ("dim", "_values", "_lazy")
 
     def __repr__(self) -> str:
-        state = (
-            "deferred"
-            if self._values is None and self._lazy is not None
-            else f"n={self._values.shape[0]}"
-        )
+        if self._values is not None:
+            state = f"n={self._values.shape[0]}"
+        elif self._lazy is not None:
+            state = "deferred"
+        else:
+            state = "empty"
         return f"EntityTags(dim={self.dim!r}, {state})"
 
     def __init__(self, dim: str, values: Optional[Array] = None, _lazy=None):

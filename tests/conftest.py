@@ -23,12 +23,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import pytest  # noqa: E402  (after the env setup above)
 
-
-def pytest_addoption(parser):
-    parser.addoption(
-        "--slow", action="store_true", default=False,
-        help="also run tests marked slow (full lane; ~1 h on 1 CPU)",
-    )
+# --slow is registered in the ROOTDIR conftest.py (sub-directory conftests
+# only register CLI options when tests/ is an initial command-line path).
 
 
 def pytest_configure(config):

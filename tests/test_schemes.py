@@ -414,5 +414,8 @@ def test_interface_elasticity_iteration_scaling():
         r = s.solve(method="bicgstab", tol=1e-8, maxiter=200, precond=vc)
         assert r.converged, (n, r.residual)
         iters[n] = r.iterations
-    assert iters[32] <= 16, iters
-    assert iters[64] <= 24, iters  # round-3 rigid-only space: 34
+    # Caps sit well above the measured 10-16/13-20 band: BiCGStab counts
+    # wobble ~20% with summation order (CLAUDE.md), so leave real headroom.
+    # The guard is against the round-3 rigid-only space (15/34).
+    assert iters[32] <= 20, iters
+    assert iters[64] <= 28, iters
