@@ -82,6 +82,63 @@ def restrict(fine: Array, gf: Grid, gc: Grid) -> Array:
     return out.reshape(-1)
 
 
+def _band_bicgstab(mv, M, b: Array, iters: int) -> Array:
+    """Fixed-iteration preconditioned BiCGStab on a flat vector as ONE
+    ``lax.fori_loop`` — the inner band solver of the multiplicative
+    interface correction.
+
+    Deliberately NOT ``jax.scipy.sparse.linalg.bicgstab``: a
+    preconditioner's inner solve needs bounded work, not an exit test,
+    and the scipy-style while_loop (condition machinery nested inside the
+    outer Krylov while_loop) was a major contributor to the S5 solve
+    graph that this environment's remote TPU compiler could not finish
+    (>47 min, killed — see bench.py).  Breakdown handling: divisions are
+    guarded, and the BEST iterate (smallest residual seen) is returned,
+    so a late stagnation-then-breakdown wander cannot poison the outer
+    iteration (the same lesson as solvers._pbicgstab, CLAUDE.md round 3).
+    Dots run in float32 (f64 reductions are ~30x slow on v5e)."""
+    dt = b.dtype
+
+    def dot(a, c):
+        return jnp.vdot(
+            a.astype(jnp.float32), c.astype(jnp.float32)
+        ).astype(dt)
+
+    def safe(d):
+        return jnp.where(jnp.abs(d) > 1e-300, d, jnp.asarray(1e-300, dt))
+
+    zeros = jnp.zeros_like(b)
+    one = jnp.asarray(1.0, dt)
+    rhat = b
+    rr0 = dot(b, b)
+    state = (zeros, b, zeros, zeros, one, one, one, zeros, rr0)
+
+    def body(i, st):
+        x, r, p, v, rho, alpha, omega, xb, rrb = st
+        rho_new = dot(rhat, r)
+        beta = jnp.where(
+            i == 0, 0.0, (rho_new / safe(rho)) * (alpha / safe(omega))
+        )
+        p = r + beta * (p - omega * v)
+        ph = M(p)
+        v = mv(ph)
+        alpha = rho_new / safe(dot(rhat, v))
+        s = r - alpha * v
+        sh = M(s)
+        t = mv(sh)
+        omega = dot(t, s) / safe(dot(t, t))
+        x = x + alpha * ph + omega * sh
+        r = s - omega * t
+        rr = dot(r, r)
+        better = jnp.logical_and(jnp.isfinite(rr), rr < rrb)
+        xb = jnp.where(better, x, xb)
+        rrb = jnp.where(better, rr, rrb)
+        return (x, r, p, v, rho_new, alpha, omega, xb, rrb)
+
+    state = jax.lax.fori_loop(0, int(iters), body, state)
+    return state[7]
+
+
 @dataclasses.dataclass
 class Level:
     grid: Grid
@@ -213,6 +270,12 @@ class VCycle:
     # coarse-space analogue
     coarse_Z: Optional[Array] = None  # (k, n_flat) masked mode basis
     coarse_Ginv: Optional[Array] = None  # (k, k) inverse of Z A Z^T
+    # A Z^T rows (k, n_flat): lets the band solve reuse the residual after
+    # the coarse update (rf -= AZ^T c) instead of a second full operator
+    # matvec — one matvec per preconditioner application instead of two
+    # (both a runtime and a compiled-graph-size win; the S5 solve graph
+    # must stay small enough for this environment's remote TPU compiler)
+    coarse_AZ: Optional[Array] = None
     _flat_meta: Optional[Tuple] = None  # (names, shapes, sizes) system order
     # mutation counter: compiled-solver caches key on (id(self), _version)
     # so in-place equipping (attach_interface_solve) invalidates them
@@ -252,32 +315,46 @@ class VCycle:
             b,
             self.levels[0].active,
         )
-        if self.coarse_Z is not None:
-            # multiplicative rank-k correction BEFORE the band solve: the
-            # modes' residual lives (almost) entirely in the band, and the
-            # band solve afterwards re-slaves the cut DoFs to the corrected
-            # bulk — ordering matters (measured: coarse-after-band leaves
-            # an O(1) band residual the next outer iteration must redo)
-            lvl = self.levels[0]
-            r = jax.tree.map(lambda bi, ai: bi - ai, b, lvl.matvec(x))
-            rf = self._flatten(r)
+        has_coarse = self.coarse_Z is not None
+        has_band = (
+            self.interface_inv is not None or self.schwarz_inv is not None
+        )
+        if not (has_coarse or has_band):
+            return x
+        # ONE residual for both multiplicative corrections; the coarse
+        # update keeps it current by the precomputed AZ rows (no second
+        # operator matvec).  Ordering matters: rank-k coarse correction
+        # BEFORE the band solve — the modes' residual lives (almost)
+        # entirely in the band, and the band solve afterwards re-slaves
+        # the cut DoFs to the corrected bulk (measured: coarse-after-band
+        # leaves an O(1) band residual the next outer iteration must redo).
+        lvl = self.levels[0]
+        r = jax.tree.map(lambda bi, ai: bi - ai, b, lvl.matvec(x))
+        rf = self._flatten(r)
+        xf = self._flatten(x)
+        if has_coarse:
             Z = self.coarse_Z.astype(rf.dtype)
             c = self.coarse_Ginv.astype(rf.dtype) @ (Z @ rf)
-            x = self._unflatten(self._flatten(x) + Z.T @ c)
-        return self._band_correct(x, b)
+            xf = xf + Z.T @ c
+            if has_band:
+                if self.coarse_AZ is not None:
+                    rf = rf - self.coarse_AZ.astype(rf.dtype).T @ c
+                else:  # legacy attach without AZ: recompute
+                    x1 = self._unflatten(xf)
+                    r = jax.tree.map(
+                        lambda bi, ai: bi - ai, b, lvl.matvec(x1)
+                    )
+                    rf = self._flatten(r)
+        return self._band_correct_flat(xf, rf)
 
-    def _band_correct(self, x, b):
+    def _band_correct_flat(self, xf, rf):
         """Multiplicative solve on the cut-cell / ghost-facet DoF block —
         the modes pointwise smoothing cannot contract (the phi-FEM
-        analogue of MUMPS' robust pivoting).  No-op when no interface data
-        is attached."""
+        analogue of MUMPS' robust pivoting) — given the CURRENT flat
+        iterate and residual.  No-op when no interface data is attached."""
         if self.interface_inv is not None:
-            lvl = self.levels[0]
-            r = jax.tree.map(lambda bi, ai: bi - ai, b, lvl.matvec(x))
-            rf = self._flatten(r)
             corr = self.interface_inv.astype(rf.dtype) @ rf[self.interface_ids]
-            xf = self._flatten(x).at[self.interface_ids].add(corr)
-            x = self._unflatten(xf)
+            xf = xf.at[self.interface_ids].add(corr)
         elif self.schwarz_inv is not None:
             # scalable variant: multiplicative correction by an INNER
             # Krylov solve of the interface block A_II e = r_I — BiCGStab
@@ -286,11 +363,11 @@ class VCycle:
             # RAS sweeps alone stall (smooth error modes ALONG the band,
             # observed ~0.9x/iter outer at n=200); ~10 preconditioned
             # inner iterations recover dense-interface-solve quality at
-            # O(m) memory (the dense inverse is O(m^2)).
-            lvl = self.levels[0]
+            # O(m) memory (the dense inverse is O(m^2)).  Fixed-sweep
+            # fori_loop (not jax.scipy bicgstab): a preconditioner needs
+            # bounded work, not an exit test, and the flat loop keeps the
+            # compiled graph small enough for the remote TPU compiler.
             m = self.band_ids.shape[0]
-            r = jax.tree.map(lambda bi, ai: bi - ai, b, lvl.matvec(x))
-            rf = self._flatten(r)
             rb = rf[self.band_ids]
             dt = rb.dtype
 
@@ -310,13 +387,9 @@ class VCycle:
                 out = jnp.zeros(m + 1, dt).at[self.schwarz_ids].add(upd)
                 return out[:m]
 
-            e, _ = jax.scipy.sparse.linalg.bicgstab(
-                band_mv, rb, M=band_ras, tol=1e-8, atol=0.0,
-                maxiter=self.schwarz_sweeps,
-            )
-            xf = self._flatten(x).at[self.band_ids].add(e)
-            x = self._unflatten(xf)
-        return x
+            e = _band_bicgstab(band_mv, band_ras, rb, self.schwarz_sweeps)
+            xf = xf.at[self.band_ids].add(e)
+        return self._unflatten(xf)
 
 
 @dataclasses.dataclass
@@ -660,6 +733,7 @@ def attach_coarse_correction(vc: VCycle, op, active, vectors, bcs=()) -> VCycle:
     # null-space direction (e.g. S5's collective rigid motions, deflated
     # by the outer Krylov solve) — both make G singular by construction
     vc.coarse_Z = jnp.asarray(Z)
+    vc.coarse_AZ = jnp.asarray(AZ)  # residual update without a 2nd matvec
     vc.coarse_Ginv = jnp.asarray(np.linalg.pinv(G, rcond=1e-10))
     vc._version += 1
     return vc
@@ -710,9 +784,9 @@ def attach_coarse_correction_device(vc: VCycle, op, active, z_builder, bcs=()) -
         nrm = jnp.sqrt(jnp.sum(Z * Z, axis=1, keepdims=True))
         Z = Z / jnp.maximum(nrm, 1e-300)
         AZ = jax.lax.map(lambda z: flat(matvec(unflat(z))), Z)
-        return Z, Z @ AZ.T
+        return Z, AZ, Z @ AZ.T
 
-    vc.coarse_Z, G = _build()
+    vc.coarse_Z, vc.coarse_AZ, G = _build()
     # pinv of the TINY (k, k) Galerkin matrix on the HOST: one 540 KB
     # fetch beats compiling an f64 SVD on device (the remote compiler was
     # OOM-killed compiling it inside the S5 bench solve graph)

@@ -613,10 +613,13 @@ def make_interface_apply(
                 0, n_sweeps, rich_step, om * band_ras(rb)
             )
         else:
-            corr, _ = jax.scipy.sparse.linalg.bicgstab(
-                band_mv, rb, M=band_ras, tol=1e-8, atol=0.0,
-                maxiter=n_sweeps,
-            )
+            # fixed-sweep fori_loop BiCGStab (mg._band_bicgstab): bounded
+            # work, no nested-while condition machinery — the scipy-style
+            # loop was a major contributor to the remote-compile wedges
+            # (bench.py S5; same class as the 2D band solve)
+            from ..mg import _band_bicgstab
+
+            corr = _band_bicgstab(band_mv, band_ras, rb, n_sweeps)
         return ids_j, corr
 
     return apply

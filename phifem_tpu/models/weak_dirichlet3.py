@@ -643,10 +643,12 @@ class WeakDirichletPoisson3:
                     out = jnp.zeros(mloc + 1, dt).at[bids].add(upd)
                     return out[:mloc]
 
-                corr, _ = jax.scipy.sparse.linalg.bicgstab(
-                    band_mv, rb, M=band_ras, tol=1e-8, atol=0.0,
-                    maxiter=n_sweeps,
-                )
+                # fixed-sweep fori_loop (see mg._band_bicgstab): bounded
+                # work and a far smaller compiled graph than the
+                # scipy-style nested while_loop
+                from ..mg import _band_bicgstab
+
+                corr = _band_bicgstab(band_mv, band_ras, rb, n_sweeps)
             xf = jnp.concatenate([x["u"], x["p"]]).at[ids_j].add(corr)
             return {"u": xf[:N], "p": xf[N:]}
 

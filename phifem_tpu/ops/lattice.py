@@ -700,14 +700,22 @@ class LatticeVarMG:
     masks: Optional[List[Array]] = None  # per-level (R, C), channel-shared
 
     def _conv(self, xp: Array, k: int, R: int, C: int) -> Array:
+        # ONE stacked einsum over all 9 taps (not 9 einsums + 8 adds):
+        # the S5 preconditioner unrolls ~40 of these convolutions per
+        # displacement field across its levels and sweeps, and collapsing
+        # each to a single contraction keeps the traced graph ~9x smaller
+        # — load-bearing for the remote TPU compiler (see bench.py S5)
         W = self.Ws[k].astype(xp.dtype)
-        acc = None
-        for a in range(3):
-            for b in range(3):
-                xs = xp[:, a + 1 : a + R - 1, b + 1 : b + C - 1]
-                part = jnp.einsum("ijrc,jrc->irc", W[a, b], xs)
-                acc = part if acc is None else acc + part
-        return acc
+        xs = jnp.stack(
+            [
+                xp[:, a + 1 : a + R - 1, b + 1 : b + C - 1]
+                for a in range(3)
+                for b in range(3)
+            ]
+        )  # (9, vsz, R-2, C-2)
+        return jnp.einsum(
+            "tijrc,tjrc->irc", W.reshape((9,) + W.shape[2:]), xs
+        )
 
     def _mask_int(self, k: int, R: int, C: int):
         if self.masks is None:
