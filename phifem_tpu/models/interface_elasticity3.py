@@ -570,7 +570,8 @@ class InterfaceElasticity3:
         use_mg: bool = True,
         use_iface: bool = True,
         use_coarse: bool = True,
-        coarse_poly_degree: int = 2,
+        coarse_poly_degree: int = 0,
+        coarse_harmonic_degree: Optional[int] = None,
         inner: str = "krylov",
         inner_omega: float = 1.0,
     ):
@@ -730,14 +731,77 @@ class InterfaceElasticity3:
             mm = dict(m)
             mm["ui"] = jnp.zeros_like(m["ui"])
             base_modes.append(mm)
-        # per-side polynomial enrichment (3D analogue of the 2D Fourier
-        # coarse space, docs/s5_preconditioner.md): Cartesian monomials up
-        # to coarse_poly_degree per displacement component per side — the
-        # span contains the solid harmonics r^l Y_lm up to that degree,
-        # i.e. the smooth transmission modes the bulk/band splitting
-        # contracts at only 1-O(h).  Measured (n=16, contrast 1000,
-        # deflated FGMRES tol 1e-8): 100 outer iterations with the rank-6
-        # rigid space alone; see docs/s53d_convergence.md.
+        # per-side SOLID-HARMONIC enrichment — the exact 3D analogue of
+        # the 2D interface-harmonic Fourier coarse space
+        # (s5_fourier_modes, docs/s5_preconditioner.md).  For a spherical
+        # interface of mean radius a about the cut-band centroid, the
+        # harmonic field matching Y_lm on the interface is (r/a)^l Y_lm on
+        # the INTERIOR side and (a/r)^(l+1) Y_lm on the EXTERIOR side —
+        # closed forms, so no eigen-solves.  Both radial families are
+        # needed: an error mode varying like Y_lm along the interface
+        # couples the sides only through the O(h)-thin penalty band, is
+        # contracted at 1 - O(l h) per application, and DECAYS away from
+        # the interface on the outer side — growing Cartesian monomials
+        # (the round-4 enrichment, kept under ``coarse_poly_degree``)
+        # cannot represent that decay, which is why they did not tame the
+        # contrast-1000 growth (20 -> 100 outer iterations at n=8 -> 16
+        # with the rigid space; docs/s53d_convergence.md).  Sides are
+        # auto-detected from mean radii (the 2D lesson: the param1-style
+        # levelset 1 - r^2 puts the "in" material OUTSIDE).  L auto-scales
+        # like the 2D K = n/4 (poorly-contracted frequencies reach
+        # l h = O(1)).
+        if coarse_harmonic_degree is None:
+            coarse_harmonic_degree = int(np.clip(g.nx // 4, 2, 10))
+        if coarse_harmonic_degree > 0:
+            from scipy.special import lpmv
+
+            x3, y3, z3 = g.vertex_coords_lattice(float_dtype())
+            pos = np.stack(
+                [
+                    np.asarray(jnp.broadcast_to(v, (D, R, C))).reshape(-1)
+                    for v in (x3, y3, z3)
+                ],
+                axis=1,
+            )  # (N, 3) host vertex coordinates
+            cut_v = touch[2].reshape(-1)
+            c3 = pos[cut_v].mean(axis=0)
+            dp = pos - c3
+            r3n = np.sqrt((dp * dp).sum(axis=1))
+            a3 = max(float(r3n[cut_v].mean()), 1e-12)
+            # which displacement field is the interface's interior?
+            rin_mean = (
+                float(r3n[bulk_in.reshape(-1)].mean())
+                if bulk_in.any()
+                else np.inf
+            )
+            f_int, f_ext = ("ui", "uo") if rin_mean < a3 else ("uo", "ui")
+            rho3 = r3n / a3
+            ct3 = dp[:, 2] / np.maximum(r3n, 1e-30)  # cos(theta)
+            ph3 = np.arctan2(dp[:, 1], dp[:, 0])
+            w_int_l = lambda l: np.minimum(rho3, 1.5) ** l
+            w_ext_l = lambda l: np.clip(rho3, 0.2, None) ** (-(l + 1))
+            zero27 = {
+                "ui": jnp.zeros(3 * N, float_dtype()),
+                "uo": jnp.zeros(3 * N, float_dtype()),
+                "yi": jnp.zeros(9 * N, float_dtype()),
+                "yo": jnp.zeros(9 * N, float_dtype()),
+                "p": jnp.zeros(3 * N, float_dtype()),
+            }
+            for l in range(coarse_harmonic_degree + 1):
+                wi, we = w_int_l(l), w_ext_l(l)
+                for m in range(l + 1):
+                    P = lpmv(m, l, ct3)
+                    angs = [P * np.cos(m * ph3)]
+                    if m > 0:
+                        angs.append(P * np.sin(m * ph3))
+                    for ang in angs:
+                        for comp in range(3):
+                            for fname, w in ((f_int, wi), (f_ext, we)):
+                                vals = np.zeros(3 * N)
+                                vals[comp * N : (comp + 1) * N] = w * ang
+                                mm = dict(zero27)
+                                mm[fname] = jnp.asarray(vals, float_dtype())
+                                base_modes.append(mm)
         if coarse_poly_degree > 0:
             x3, y3, z3 = g.vertex_coords_lattice(float_dtype())
             xs3 = jnp.broadcast_to(x3, (D, R, C)).reshape(-1)

@@ -89,6 +89,30 @@ class USchemeBase:
         self.result = res
         return res
 
+    def amg_preconditioner(
+        self, refresh: bool = False, theta: float = 0.08, **kw
+    ):
+        """Smoothed-aggregation AMG on each scalar field's bulk block +
+        the multiplicative cut-band solve (:mod:`phifem_tpu.amg`) — the
+        degree-1 imported-mesh analogue of the structured backend's
+        ``lattice_preconditioner`` (grid-independent-ish iterations where
+        plain Jacobi-BiCGStab grows like 1/h).  Memoized on the
+        operator's data version."""
+        from ..amg import amg_preconditioner
+
+        key = ("amg", float(theta), repr(sorted(kw.items())),
+               self.op.data_version)
+        cache = getattr(self, "_mg_cache", None)
+        if cache is None:
+            cache = self._mg_cache = {}
+        if not refresh and key in cache:
+            return cache[key]
+        vc = amg_preconditioner(
+            self.op, getattr(self, "bcs", ()), theta=theta, **kw
+        )
+        cache[key] = vc
+        return vc
+
     def _p1_twin(self):
         """Degree-1 twin on the same mesh (p-multigrid coarse problem);
         level-set/detection degrees untouched."""
