@@ -75,6 +75,17 @@ __all__ = [
 # classify_nodes local-facet ids (0: p0-p1, 1: p1-p2, 2: p0-p2) -> UMesh
 # local-edge rows (dolfinx order [[1,2],[0,2],[0,1]]); directions agree.
 _CLS2MESH_TRI = np.array([2, 0, 1])
+# quad element-local TENSOR vertex order (v00, v10, v01, v11) -> the VTK
+# ring position in UMesh quad cells; the mesh's reference square puts
+# ring (v0, v1, v2, v3) at (0,0), (1,0), (1,1), (0,1)
+# (UMesh.map_to_physical)
+_QUADV2RING = np.array([0, 1, 3, 2])
+# classify_nodes quad facet ids (0 left, 1 right, 2 bottom, 3 top) ->
+# (UMesh c2f column of the VTK ring edge, param-START ring vertex,
+#  param-END ring vertex); param runs bottom->top / left->right
+_QUAD_CLS_EDGE = np.array(
+    [[3, 0, 3], [1, 1, 2], [0, 0, 1], [2, 3, 2]]
+)
 
 
 # ------------------------------------------------------------------ spaces
@@ -93,19 +104,12 @@ class USpace:
     def lagrange(
         mesh: UMesh, degree: int, value_shape: Tuple[int, ...] = ()
     ) -> "USpace":
-        if not mesh.is_simplex:
-            raise NotImplementedError(
-                "unstructured solve path is simplex-only (affine geometry); "
-                "use the structured Grid for quadrilateral meshes"
-            )
         return USpace(mesh, lagrange_element(mesh.cell_name, degree), value_shape)
 
     @staticmethod
     def dg0(mesh: UMesh, value_shape: Tuple[int, ...] = ()) -> "USpace":
         from .elements import dg0_element
 
-        if not mesh.is_simplex:
-            raise NotImplementedError("unstructured solve path is simplex-only")
         return USpace(mesh, dg0_element(mesh.cell_name), value_shape)
 
     @property
@@ -172,12 +176,20 @@ class USpace:
         cols = []
         for loc in range(self.nloc):
             if kind[loc] == 0:
-                col = m.cells[:, int(entity[loc])].astype(np.int64)
+                lv = int(entity[loc])
+                if not m.is_simplex:
+                    lv = int(_QUADV2RING[lv])
+                col = m.cells[:, lv].astype(np.int64)
             elif kind[loc] == 1:
-                lf = _CLS2MESH_TRI[int(entity[loc])]
+                if m.is_simplex:
+                    lf = _CLS2MESH_TRI[int(entity[loc])]
+                    va = m.cells[:, le[lf, 0]]
+                    vb = m.cells[:, le[lf, 1]]
+                else:
+                    lf, a_r, b_r = _QUAD_CLS_EDGE[int(entity[loc])]
+                    va = m.cells[:, a_r]
+                    vb = m.cells[:, b_r]
                 facet = m.c2f[:, lf].astype(np.int64)
-                va = m.cells[:, le[lf, 0]]
-                vb = m.cells[:, le[lf, 1]]
                 idx_local = int(round(float(param[loc]) * k)) - 1
                 idx_rev = (k - 1) - 1 - idx_local
                 # flip where the local edge direction runs against the
@@ -252,16 +264,11 @@ class USpace:
             kind, _, _ = classify_nodes(self.element)
             int_nodes = self.element.nodes[kind == 2]
             if len(int_nodes):
-                V = m.verts[m.cells]  # (nc, 3, 2)
-                p0 = V[:, 0]
-                e1 = V[:, 1] - p0
-                e2 = V[:, 2] - p0
-                pts = (
-                    p0[:, None, :]
-                    + int_nodes[None, :, 0:1] * e1[:, None, :]
-                    + int_nodes[None, :, 1:2] * e2[:, None, :]
+                # map_to_physical is affine on triangles, bilinear on
+                # quads — both in the mesh's reference convention
+                coords.append(
+                    m.map_to_physical(int_nodes).reshape(-1, 2)
                 )
-                coords.append(pts.reshape(-1, 2))
         return np.concatenate(coords, axis=0)
 
     def _dof_coords_tet(self) -> np.ndarray:
@@ -388,6 +395,131 @@ def _cell_geometry(mesh: UMesh, cells: np.ndarray):
     return p0, Jinv, np.abs(det), h
 
 
+def _quad_geometry_at(mesh: UMesh, cells: np.ndarray, ref_pts: np.ndarray):
+    """Per-POINT bilinear geometry of quad cells: returns host float64
+    ``(x (ne,nq,2), Jinv (ne,nq,2,2), absdet (ne,nq), h (ne,))`` at the
+    given reference points.  The mesh's reference square puts ring
+    vertices (v0..v3) at (0,0),(1,0),(1,1),(0,1)
+    (:meth:`UMesh.map_to_physical`); J varies over the cell, which is the
+    whole reason the quad path needs per-point factors."""
+    V = mesh.verts[mesh.cells[cells]]  # (ne, 4, 2) ring order
+    r = ref_pts[None, :, 0, None]  # (1, nq, 1)
+    s = ref_pts[None, :, 1, None]
+    x = (
+        (1 - r) * (1 - s) * V[:, None, 0]
+        + r * (1 - s) * V[:, None, 1]
+        + r * s * V[:, None, 2]
+        + (1 - r) * s * V[:, None, 3]
+    )
+    ref = np.broadcast_to(
+        ref_pts[None], (V.shape[0],) + ref_pts.shape
+    )
+    Jinv, absdet = _quad_jacobian(V, ref)
+    return x, Jinv, absdet, _quad_h(V)
+
+
+def _quad_h(V: np.ndarray) -> np.ndarray:
+    """UFL ``CellDiameter`` of quads: LARGEST VERTEX DISTANCE — on a quad
+    that is a diagonal, not an edge (the structured backend's
+    ``Grid.cell_diameter``; on triangles max edge == max vertex distance,
+    so the simplex path needs no change)."""
+    edges = np.linalg.norm(V - np.roll(V, -1, axis=1), axis=-1)
+    d02 = np.linalg.norm(V[:, 2] - V[:, 0], axis=-1)
+    d13 = np.linalg.norm(V[:, 3] - V[:, 1], axis=-1)
+    return np.maximum(edges.max(axis=1), np.maximum(d02, d13))
+
+
+def _quad_jacobian(V: np.ndarray, ref: np.ndarray):
+    """(Jinv (ne,nq,2,2), absdet (ne,nq)) of the ring bilinear map at
+    per-cell reference points ``ref (ne,nq,2)``."""
+    r = ref[..., 0, None]
+    s = ref[..., 1, None]
+    dxr = (
+        -(1 - s) * V[:, None, 0]
+        + (1 - s) * V[:, None, 1]
+        + s * V[:, None, 2]
+        - s * V[:, None, 3]
+    )  # (ne, nq, 2)
+    dxs = (
+        -(1 - r) * V[:, None, 0]
+        - r * V[:, None, 1]
+        + r * V[:, None, 2]
+        + (1 - r) * V[:, None, 3]
+    )
+    J = np.stack([dxr, dxs], axis=-1)  # J[..., i, c] = dx_i/dref_c
+    det = J[..., 0, 0] * J[..., 1, 1] - J[..., 0, 1] * J[..., 1, 0]
+    Jinv = (
+        np.stack(
+            [
+                np.stack([J[..., 1, 1], -J[..., 0, 1]], axis=-1),
+                np.stack([-J[..., 1, 0], J[..., 0, 0]], axis=-1),
+            ],
+            axis=-2,
+        )
+        / det[..., None, None]
+    )
+    return Jinv, np.abs(det)
+
+
+def _cell_geometry_at(mesh: UMesh, cells: np.ndarray, ref_pts: np.ndarray):
+    """Per-point geometry factors at ``ref_pts`` for any 2D/3D cell type:
+    ``(x (ne,nq,d), Jinv (ne,nq,d,d), absdet (ne,nq), h (ne,))``.
+    Simplices broadcast their constant affine factors; quads evaluate the
+    bilinear map pointwise (:func:`_quad_geometry_at`)."""
+    nq = ref_pts.shape[0]
+    if mesh.dim == 2 and not mesh.is_simplex:
+        return _quad_geometry_at(mesh, cells, ref_pts)
+    p0, Jinv, absdet, h = _cell_geometry(mesh, cells)
+    V = mesh.verts[mesh.cells[cells]]
+    lam = np.concatenate(
+        [1.0 - ref_pts.sum(axis=1, keepdims=True), ref_pts], axis=1
+    )
+    x = np.einsum("qk,ckx->cqx", lam, V)
+    ne = len(cells)
+    return (
+        x,
+        np.broadcast_to(Jinv[:, None], (ne, nq) + Jinv.shape[1:]),
+        np.broadcast_to(absdet[:, None], (ne, nq)),
+        h,
+    )
+
+
+def _quad_invert_map(mesh: UMesh, cells: np.ndarray, x_np: np.ndarray):
+    """Newton inversion of the ring bilinear map: reference coordinates of
+    the physical points ``x_np (ne, nq, 2)`` within each quad cell
+    (vectorized host numpy; 2-3 iterations reach machine precision on
+    non-degenerate quads — the quad analogue of ``ref = Jinv (x - p0)``)."""
+    V = mesh.verts[mesh.cells[cells]]  # (ne, 4, 2)
+    ref = np.full(x_np.shape, 0.5)
+    for _ in range(8):
+        r = ref[..., 0, None]
+        s = ref[..., 1, None]
+        F = (
+            (1 - r) * (1 - s) * V[:, None, 0]
+            + r * (1 - s) * V[:, None, 1]
+            + r * s * V[:, None, 2]
+            + (1 - r) * s * V[:, None, 3]
+            - x_np
+        )
+        dxr = (
+            -(1 - s) * V[:, None, 0]
+            + (1 - s) * V[:, None, 1]
+            + s * V[:, None, 2]
+            - s * V[:, None, 3]
+        )
+        dxs = (
+            -(1 - r) * V[:, None, 0]
+            - r * V[:, None, 1]
+            + r * V[:, None, 2]
+            + (1 - r) * V[:, None, 3]
+        )
+        det = dxr[..., 0] * dxs[..., 1] - dxr[..., 1] * dxs[..., 0]
+        dr = (dxs[..., 1] * F[..., 0] - dxs[..., 0] * F[..., 1]) / det
+        ds = (-dxr[..., 1] * F[..., 0] + dxr[..., 0] * F[..., 1]) / det
+        ref = ref - np.stack([dr, ds], axis=-1)
+    return ref
+
+
 def _ref_tabs(element: Element, ref_pts: np.ndarray):
     ft = _float_dtype()
     return (
@@ -426,19 +558,15 @@ def _u_cell_local_fn(system: System, term: CellTerm, mesh: UMesh, data: Dict,
     call_data = {k: v for k, v in data.items() if not _is_fn(v)}
     dtabs = {k: _ref_tabs(v.space.element, ref_pts) for k, v in fn_data.items()}
 
-    p0, Jinv, absdet, h = _cell_geometry(mesh, cells)
+    # per-point geometry: constant (broadcast) for simplices, genuinely
+    # pointwise for bilinear quads
+    x_np, Jinv, absdet, h = _cell_geometry_at(mesh, cells, ref_pts)
     ft = _float_dtype()
     dim = mesh.dim
-    # physical quadrature points: barycentric combination of the vertices
-    V = mesh.verts[mesh.cells[cells]]  # (ne, dim+1, dim)
-    lam = np.concatenate(
-        [1.0 - ref_pts.sum(axis=1, keepdims=True), ref_pts], axis=1
-    )  # (nq, dim+1)
-    x_np = np.einsum("qk,ckx->cqx", lam, V)
 
     geo = {
-        "Jinv": jnp.asarray(Jinv, ft),
-        "wdet": jnp.asarray(wq[None, :] * absdet[:, None], ft),
+        "Jinv": jnp.asarray(Jinv, ft),  # (ne, nq, d, d)
+        "wdet": jnp.asarray(wq[None, :] * absdet, ft),
         "x": jnp.asarray(x_np, ft),
         "h": jnp.asarray(h, ft),
     }
@@ -457,12 +585,12 @@ def _u_cell_local_fn(system: System, term: CellTerm, mesh: UMesh, data: Dict,
     nq = len(wq)
 
     def local(uflat, vflat, cd):
-        Ji = cd["Jinv"]
         ctx = Ctx(h=cd["h"])
         u_locs = _unpack(uflat, layout) if uflat is not None else None
         v_locs = _unpack(vflat, layout)
         contrib = 0.0
         for q in range(nq):
+            Ji = cd["Jinv"][q]
             if u_locs is not None:
                 u_ev = {
                     n: _phys_evals(u_locs[n], t[0][q], t[1][q], t[2][q], Ji)
@@ -492,13 +620,22 @@ def _u_cell_local_fn(system: System, term: CellTerm, mesh: UMesh, data: Dict,
 def _facet_side_tabs(element: Element, mesh: UMesh, cells: np.ndarray,
                      x_np: np.ndarray):
     """Reference tabulations of one side's basis at per-facet physical
-    points: maps ``x`` back with the side cell's affine inverse, then
-    tabulates (host, static geometry).  Returns (val (nf,nq,nloc),
-    gref (nf,nq,nloc,d), href (nf,nq,nloc,d,d), Jinv (nf,d,d), h (nf,))."""
+    points: maps ``x`` back into the side cell (affine inverse for
+    simplices, Newton-inverted bilinear map for quads), then tabulates
+    (host, static geometry).  Returns (val (nf,nq,nloc),
+    gref (nf,nq,nloc,d), href (nf,nq,nloc,d,d), Jinv (nf,nq,d,d) —
+    per-POINT, constant-broadcast on simplices — and h (nf,))."""
     d = mesh.dim
-    p0, Jinv, _, h = _cell_geometry(mesh, cells)
-    ref = np.einsum("frx,fqx->fqr", Jinv, x_np - p0[:, None, :])
-    nf, nq, _ = ref.shape
+    nf, nq = x_np.shape[:2]
+    if d == 2 and not mesh.is_simplex:
+        V = mesh.verts[mesh.cells[cells]]
+        ref = _quad_invert_map(mesh, cells, x_np)
+        Jinv, _ = _quad_jacobian(V, ref)
+        h = _quad_h(V)
+    else:
+        p0, Jinv_c, _, h = _cell_geometry(mesh, cells)
+        ref = np.einsum("frx,fqx->fqr", Jinv_c, x_np - p0[:, None, :])
+        Jinv = np.broadcast_to(Jinv_c[:, None], (nf, nq, d, d))
     flat = ref.reshape(-1, d)
     ft = _float_dtype()
     val = jnp.asarray(element.tabulate(flat).reshape(nf, nq, -1), ft)
@@ -566,7 +703,14 @@ def _u_facet_local_fn(system: System, term, mesh: UMesh, data: Dict,
         dtabs.append(dt)
         if Ji is None:  # no fields at all (scalar functional of callables)
             _, Jinv_np, _, h_np = _cell_geometry(mesh, cells)
-            Ji, hh = jnp.asarray(Jinv_np, ft), h_np
+            nfq = x_np.shape[:2]
+            Ji = jnp.asarray(
+                np.broadcast_to(
+                    Jinv_np[:, None], nfq + Jinv_np.shape[1:]
+                ),
+                ft,
+            )
+            hh = h_np
         jinvs.append(Ji)
         hs.append(hh)
         dof_tables.append(
@@ -614,7 +758,7 @@ def _u_facet_local_fn(system: System, term, mesh: UMesh, data: Dict,
         ]
 
         def side_evals(locs, s_i, q):
-            Ji = cd[f"Jinv{s_i}"]
+            Ji = cd[f"Jinv{s_i}"][q]
             return {
                 n: _phys_evals(
                     locs[n],
@@ -627,7 +771,7 @@ def _u_facet_local_fn(system: System, term, mesh: UMesh, data: Dict,
             }
 
         def side_data(s_i, q):
-            Ji = cd[f"Jinv{s_i}"]
+            Ji = cd[f"Jinv{s_i}"][q]
             d_ev = {
                 k: _phys_evals(
                     cd[f"d{s_i}_" + k],

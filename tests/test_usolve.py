@@ -369,3 +369,70 @@ def test_ufunction_reassemble():
     s.op.reassemble()
     A2 = s.op.to_dense()
     assert np.abs(A2 - A0).max() < 1e-10 * np.abs(A0).max()
+
+
+# ------------------------------------------------------ imported quads
+def _quad_pair(n):
+    g = pf.Grid(n, n, BOX, pf.CellType.quadrilateral)
+    um, _ = UMesh.from_grid(g)
+    return g, um
+
+
+def test_uquad_s1_matches_structured_dense():
+    """Entry-for-entry operator + RHS parity of the Q1 bilinear-geometry
+    unstructured solve path against the structured quad backend (the
+    round-5 lift of the uassembly simplex-only guard; reference quad-mesh
+    support via dolfinx, e.g. demo/neumann/square/main.py:49-51)."""
+    g, um = _quad_pair(12)
+    ss = WeakDirichletPoisson(g, mode="bg")
+    ss.setup(phi_circle, f_mild, u_D=u_mild)
+    ss.assemble()
+    su = _unstructured(um)
+    assert np.abs(ss.op.to_dense() - su.op.to_dense()).max() < 1e-10
+    for k in ss.b:
+        assert np.abs(np.asarray(ss.b[k]) - np.asarray(su.b[k])).max() < 1e-12
+
+
+def test_uquad_s3_matches_structured_dense():
+    """S3 (mixed flux scheme, Q2 level-set data field, one-sided boundary
+    measures) on an imported quad mesh: same system as the structured
+    backend."""
+    g, um = _quad_pair(12)
+    ss = NeumannPoisson(g, mode="bg")
+    ss.setup(phi_circle, f_helmholtz, u_nderiv)
+    ss.assemble()
+    su = NeumannPoissonU(um, mode="bg")
+    su.setup(phi_circle, f_helmholtz, u_nderiv)
+    su.assemble()
+    assert np.abs(ss.op.to_dense() - su.op.to_dense()).max() < 1e-10
+    for k in ss.b:
+        assert np.abs(np.asarray(ss.b[k]) - np.asarray(su.b[k])).max() < 1e-12
+
+
+def _perturbed_quad_mesh(n, amp=0.2, seed=0):
+    g = pf.Grid(n, n, BOX, pf.CellType.quadrilateral)
+    um, _ = UMesh.from_grid(g)
+    verts = um.verts.copy()
+    h = 2.0 / n
+    rng = np.random.default_rng(seed)
+    interior = (
+        (np.abs(verts[:, 0] - BOX[0][0]) > 1e-12)
+        & (np.abs(verts[:, 0] - BOX[1][0]) > 1e-12)
+        & (np.abs(verts[:, 1] - BOX[0][1]) > 1e-12)
+        & (np.abs(verts[:, 1] - BOX[1][1]) > 1e-12)
+    )
+    verts[interior] += amp * h * (rng.random((int(interior.sum()), 2)) - 0.5)
+    return UMesh(verts, um.cells)
+
+
+def test_uquad_perturbed_convergence():
+    """Genuinely bilinear (non-parallelogram) quads: the per-point
+    Jacobian path converges S1 at the P1 rates."""
+    errs = {}
+    for n in (12, 24):
+        s = _unstructured(_perturbed_quad_mesh(n))
+        res = s.solve(method="dense")
+        errs[n] = s.l2_h1_errors(s.u_h, u_mild)
+    assert errs[24]["l2"] < 0.08, errs
+    assert np.log2(errs[12]["l2"] / errs[24]["l2"]) > 1.5, errs
+    assert np.log2(errs[12]["h10"] / errs[24]["h10"]) > 0.7, errs
