@@ -29,9 +29,10 @@ fit; per-section subprocess timeouts bound remote-compile wedges (observed
 13 s - 1495 s variance for the same kernel through the tunnel).
 
 Env knobs: PHIFEM_POISSON_N (default 3200), PHIFEM_BENCH_N (S1 grid, 200),
-PHIFEM_BENCH_S5_N (S5 grid, 128), PHIFEM_BENCH_ASM_N (large reassemble,
-3200), PHIFEM_BENCH_3D_N (3D Poisson, 128 -> 2.15M DoF);
-PHIFEM_BENCH_SKIP_{S1,POISSON,S5,ASM,3D}=1 to skip a section;
+PHIFEM_BENCH_S5_N (S5 grid, 128), PHIFEM_BENCH_S5I_N (S5 iterative
+on-device grid, 64), PHIFEM_BENCH_ASM_N (large reassemble, 3200),
+PHIFEM_BENCH_3D_N (3D Poisson, 128 -> 2.15M DoF);
+PHIFEM_BENCH_SKIP_{S1,POISSON,S5,S5I,ASM,3D}=1 to skip a section;
 PHIFEM_BENCH_BUDGET (global deadline, s).
 """
 
@@ -314,13 +315,10 @@ def bench_s5(n: int) -> dict:
     demo/interface-elasticity/main.py:237-288).  Reported: assembly,
     factorization (cold solve) and factor-reusing re-solve times.
 
-    The ITERATIVE S5 path (deflated BiCGStab + block-MG/band/Fourier
-    preconditioner, docs/s5_preconditioner.md: 10-45 outer iterations at
-    n=32..256) is characterized on CPU — its solve graph never returns
-    from this environment's remote TPU compiler (>47 min at n=128, >28
-    min at n=64, killed; the same wedge class CLAUDE.md records for the
-    round-3 coupled hierarchy), so benching it here would only measure
-    the tunnel."""
+    The ITERATIVE S5 path runs on device in its own section
+    (:func:`bench_s5_iter` — the round-5 host-driven loop + shrunk
+    preconditioner graph; the round-4 fused while_loop graph never
+    returned from the remote compiler, >47 min, killed)."""
     import phifem_tpu as pf
     from phifem_tpu.models import InterfaceElasticity
 
@@ -431,6 +429,62 @@ def bench_s5_3d(n: int) -> dict:
     }
 
 
+def bench_s5_iter(n: int) -> dict:
+    """S5 interface elasticity, ITERATIVE path ON DEVICE: rigid-mode
+    deflated HOST-DRIVEN BiCGStab (solvers._host_bicgstab — three small
+    jitted programs, async step dispatches, one convergence fetch per
+    check window) with the flat preconditioner (per-side var-MG bulk +
+    Fourier coarse space + fixed-sweep fori_loop band solve).
+
+    The round-4 fused while_loop graph never returned from this
+    environment's remote compiler (>47 min, killed); the round-5
+    graph-shrink (see mg._band_bicgstab, LatticeVarMG._conv, coarse_AZ)
+    plus the host loop keeps each compiled unit small.  Reported: cold
+    (compile-inclusive) and warm solve, iterations, and MDoF/s —
+    comparable to the sparse-direct section's warm re-solve.  The
+    reference has no iterative S5 solver at all (MUMPS LU,
+    demo/interface-elasticity/main.py:237-288)."""
+    import phifem_tpu as pf
+    from phifem_tpu.models import InterfaceElasticity
+
+    D = _demo_data("interface-elasticity")
+    grid = pf.Grid(n, n, ((-1.5, -1.5), (1.5, 1.5)), pf.CellType.triangle)
+    s = InterfaceElasticity(
+        grid, mode="bg", E_in=D.E_in, nu_in=D.nu_in, E_out=D.E_out,
+        nu_out=D.nu_out,
+    )
+    t0 = time.perf_counter()
+    s.setup(D.levelset, D.source_term, D.exact_solution)
+    s.assemble()
+    _fetch(s.b["u_in"])
+    t_setup = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pc = s.lattice_preconditioner(coupled=False)
+    t_pc = time.perf_counter() - t0
+
+    tol = float(os.environ.get("PHIFEM_BENCH_TOL", "1e-8"))
+    kw = dict(
+        method="bicgstab", tol=tol, maxiter=200, precond=pc,
+        host_loop=True, check_every=10,
+    )
+    r0, t_cold = _t(s.solve, **kw)
+    r, t_solve = _t(s.solve, **kw)
+    ndofs = s.system.num_dofs
+    return {
+        "ndofs": ndofs,
+        "n": n,
+        "solve_s": round(t_solve, 4),
+        "cold_solve_s": round(t_cold, 2),
+        "setup_assemble_s": round(t_setup, 2),
+        "precond_setup_s": round(t_pc, 2),
+        "iterations": int(r.iterations),
+        "residual": f"{r.residual:.2e}",
+        "converged": bool(r.converged),
+        "mdofs_per_s": round(ndofs / t_solve / 1e6, 3),
+    }
+
+
 def bench_reassemble_large(n: int) -> dict:
     """Measured (not extrapolated) stabilized-assembly rate at the 10M-DoF
     scale: all data-dependent cut/ghost/boundary element-matrix rebuilds of
@@ -486,6 +540,9 @@ _SECTIONS = {
     "reassemble_large": (bench_reassemble_large, "PHIFEM_BENCH_ASM_N", 3200, "PHIFEM_BENCH_SKIP_ASM", 180),
     "poisson3d": (bench_poisson3, "PHIFEM_BENCH_3D_N", 128, "PHIFEM_BENCH_SKIP_3D", 150),
     "s5": (bench_s5, "PHIFEM_BENCH_S5_N", 128, "PHIFEM_BENCH_SKIP_S5", 120),
+    "s5_iter": (
+        bench_s5_iter, "PHIFEM_BENCH_S5I_N", 64, "PHIFEM_BENCH_SKIP_S5I", 180
+    ),
     "s5_3d": (bench_s5_3d, "PHIFEM_BENCH_S53D_N", 16, None, 240),
 }
 
@@ -594,7 +651,9 @@ def main():
         "dtype": "float64" if os.environ["PHIFEM_X64"] == "1" else "float32",
     }
 
-    order = ["poisson_mg", "s1", "reassemble_large", "poisson3d", "s5"]
+    order = [
+        "poisson_mg", "s1", "reassemble_large", "poisson3d", "s5", "s5_iter"
+    ]
     if os.environ.get("PHIFEM_BENCH_S53D") == "1":
         order.append("s5_3d")
 

@@ -797,6 +797,138 @@ def attach_coarse_correction_device(vc: VCycle, op, active, z_builder, bcs=()) -
     return vc
 
 
+def attach_ritz_modes(
+    vc: VCycle,
+    op,
+    active,
+    bcs=(),
+    deflate=(),
+    n_arnoldi: int = 30,
+    n_keep: int = 8,
+    tol_lam: float = 0.5,
+    seed: int = 0,
+) -> VCycle:
+    """GenEO-lite slow-mode harvesting: append the dominant Ritz vectors
+    of the preconditioned error propagator ``E = I - M A`` to the rank-k
+    Galerkin coarse space.
+
+    The closed-form interface-harmonic coarse space (S5) leaves a slow
+    tail at fine grids (measured 45 outer iterations at n=256 vs the 37 a
+    clean 1.5x/doubling would give, `docs/s5_preconditioner.md`): the
+    harmonic radial profiles are only approximate off the circle under
+    the 1000x contrast.  Instead of guessing better closed forms, run a
+    short Arnoldi iteration ON the error propagator of the assembled
+    preconditioner — its dominant eigenvectors ARE the modes the cycle
+    contracts worst — and put their Ritz approximations in the coarse
+    space (the spectral coarse-space idea of GenEO, without the
+    per-subdomain generalized eigenproblems: one global Krylov space of
+    size ``n_arnoldi``, each step costing one matvec + one cycle).
+
+    ``deflate``: pytrees spanning the operator's known null space (e.g.
+    S5's collective rigid modes).  E has eigenvalue ~1 on them by
+    construction, so the Arnoldi space must be kept orthogonal to them
+    or the harvest returns modes the outer solve already deflates.
+    Ritz vectors with ``|lambda| < tol_lam`` are discarded (the cycle
+    already contracts them fine).  Idempotent-ish: call after the other
+    attach_* equips; bumps ``_version``."""
+    from .solvers import masked_operator
+
+    matvec, _, _ = masked_operator(op, bcs)
+    names = list(op.system.fields)
+    shapes = [tuple(op.system.fields[n].dof_shape) for n in names]
+    sizes = [int(np.prod(sh)) for sh in shapes]
+    if vc._flat_meta is None:
+        vc._flat_meta = (names, shapes, sizes)
+
+    act_flat = np.concatenate(
+        [
+            np.broadcast_to(np.asarray(active[n]), sh).reshape(-1)
+            for n, sh in zip(names, shapes)
+        ]
+    )
+
+    def unflat(z):
+        out, cur = {}, 0
+        for n, sh, sz in zip(names, shapes, sizes):
+            out[n] = jnp.asarray(z[cur : cur + sz].reshape(sh))
+            cur += sz
+        return out
+
+    def flat(d):
+        return np.concatenate(
+            [np.asarray(d[n]).reshape(-1) for n in names]
+        )
+
+    A_ = jax.jit(lambda x: matvec(x))
+    M_ = jax.jit(lambda r: vc._apply(r))
+
+    # orthonormalize the null basis (masked) for projection
+    Q = []
+    for v in deflate:
+        q = flat(v) * act_flat
+        for o in Q:
+            q = q - o @ q * o
+        nq = np.linalg.norm(q)
+        if nq > 1e-12:
+            Q.append(q / nq)
+
+    def proj(v):
+        for o in Q:
+            v = v - (o @ v) * o
+        return v
+
+    rng = np.random.default_rng(seed)
+    n_flat = int(act_flat.shape[0])
+    v = proj(rng.standard_normal(n_flat) * act_flat)
+    v /= np.linalg.norm(v)
+    V = [v]
+    H = np.zeros((n_arnoldi + 1, n_arnoldi))
+    for j in range(n_arnoldi):
+        x = unflat(V[j])
+        w = V[j] - flat(M_(unflat(flat(A_(x)))))  # E v = v - M A v
+        w = proj(w * act_flat)
+        for _pass in range(2):  # MGS, two passes for orthogonality
+            for i in range(j + 1):
+                c = V[i] @ w
+                H[i, j] += c
+                w = w - c * V[i]
+        H[j + 1, j] = np.linalg.norm(w)
+        if H[j + 1, j] < 1e-12:
+            break
+        V.append(w / H[j + 1, j])
+    m = len(V) - 1
+    lam, Y = np.linalg.eig(H[:m, :m])
+    order = np.argsort(-np.abs(lam))
+    keep = [i for i in order[:n_keep] if np.abs(lam[i]) >= tol_lam]
+    if not keep:
+        return vc
+    Vm = np.stack(V[:m], axis=1)  # (n_flat, m)
+    Zs, AZs = [], []
+    for i in keep:
+        z = np.real(Vm @ Y[:, i])
+        nz = np.linalg.norm(z)
+        if nz < 1e-12:
+            continue
+        z /= nz
+        Zs.append(z)
+        AZs.append(flat(A_(unflat(z))))
+    if not Zs:
+        return vc
+    Z_new = np.stack(Zs)
+    AZ_new = np.stack(AZs)
+    if vc.coarse_Z is not None:
+        Z = np.concatenate([np.asarray(vc.coarse_Z), Z_new])
+        AZ = np.concatenate([np.asarray(vc.coarse_AZ), AZ_new])
+    else:
+        Z, AZ = Z_new, AZ_new
+    G = Z @ AZ.T
+    vc.coarse_Z = jnp.asarray(Z)
+    vc.coarse_AZ = jnp.asarray(AZ)
+    vc.coarse_Ginv = jnp.asarray(np.linalg.pinv(G, rcond=1e-10))
+    vc._version += 1
+    return vc
+
+
 def attach_interface_solve(
     vc: VCycle,
     op,

@@ -117,6 +117,8 @@ class SchemeBase:
         dtype=jnp.float32,
         interface: bool = True,
         refresh: bool = False,
+        ritz_modes: int = 0,
+        ritz_arnoldi: Optional[int] = None,
         **interface_kw,
     ):
         """Full-box lattice V-cycle + cut-block interface correction
@@ -151,6 +153,8 @@ class SchemeBase:
             min_n,
             str(dtype),
             interface,
+            ritz_modes,
+            ritz_arnoldi,
             repr(sorted(interface_kw.items())),
             self.op.data_version,
         )
@@ -295,6 +299,18 @@ class SchemeBase:
                 vc = attach_coarse_correction(
                     vc, self.op, active_full, modes, bcs
                 )
+        if ritz_modes > 0:
+            # GenEO-lite: harvest whatever slow modes the assembled cycle
+            # STILL leaves (closed-form coarse spaces degrade at fine
+            # grids under high contrast — see mg.attach_ritz_modes)
+            from ..mg import attach_ritz_modes
+
+            defl = self.rigid_modes() if hasattr(self, "rigid_modes") else ()
+            vc = attach_ritz_modes(
+                vc, self.op, active_full, bcs, deflate=defl,
+                n_arnoldi=ritz_arnoldi or max(24, 3 * ritz_modes),
+                n_keep=ritz_modes,
+            )
         cache[key] = vc
         return vc
 
