@@ -18,6 +18,7 @@ cases.  A dense LU fallback supports small problems and tests.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -291,13 +292,12 @@ def _bicgstab_init(matvec, b, x0, dot):
     )
 
 
-def _bicgstab_body(matvec, M, dot, st):
-    """ONE BiCGStab iteration on the state tuple (classical recurrence,
-    right-preconditioned form).  A rho breakdown (loss of rhat
-    orthogonality after stagnation — observed on the preconditioned S5-3D
-    system around 1e-8 relative) RESTARTS the recurrence with rhat = r
-    instead of wandering; the BEST iterate seen is tracked so a late
-    breakdown cannot destroy a near-converged solve."""
+def _bicgstab_half_a(matvec, M, dot, st):
+    """First half of one BiCGStab iteration (through the p-direction
+    preconditioned matvec): contains exactly one M and one A application.
+    Split out so the host-driven runner can compile each half as its own
+    program — the half-graphs are the fallback when a full-iteration step
+    still exceeds the remote compiler's appetite."""
     x, r, rhat, p, v, rho, alpha, omega, it, xb, rrb = st
     rho_new = dot(rhat, r)
     rr_cur = dot(r, r)
@@ -319,6 +319,13 @@ def _bicgstab_body(matvec, M, dot, st):
     v = matvec(phat)
     alpha = rho_new / dot(rhat, v)
     s = tree_axpy(-alpha, v, r)
+    return (x, r, rhat, p, v, rho_new, alpha, omega, it, xb, rrb, phat, s)
+
+
+def _bicgstab_half_b(matvec, M, dot, mid):
+    """Second half: the s-direction preconditioned matvec, the omega
+    update, and the best-iterate tracking (see :func:`_bicgstab_half_a`)."""
+    x, r, rhat, p, v, rho, alpha, omega, it, xb, rrb, phat, s = mid
     shat = M(s)
     t = matvec(shat)
     omega = dot(t, s) / dot(t, t)
@@ -332,7 +339,19 @@ def _bicgstab_body(matvec, M, dot, st):
         lambda xi, xbi: jnp.where(better, xi, xbi), x, xb
     )
     rrb = jnp.where(better, rr, rrb)
-    return x, r, rhat, p, v, rho_new, alpha, omega, it + 1, xb, rrb
+    return x, r, rhat, p, v, rho, alpha, omega, it + 1, xb, rrb
+
+
+def _bicgstab_body(matvec, M, dot, st):
+    """ONE BiCGStab iteration on the state tuple (classical recurrence,
+    right-preconditioned form).  A rho breakdown (loss of rhat
+    orthogonality after stagnation — observed on the preconditioned S5-3D
+    system around 1e-8 relative) RESTARTS the recurrence with rhat = r
+    instead of wandering; the BEST iterate seen is tracked so a late
+    breakdown cannot destroy a near-converged solve."""
+    return _bicgstab_half_b(
+        matvec, M, dot, _bicgstab_half_a(matvec, M, dot, st)
+    )
 
 
 def _pbicgstab(matvec, b, x0, *, tol, atol, maxiter, M, dot=None):
@@ -776,12 +795,37 @@ def _host_bicgstab(
             target2 = jnp.maximum(tol * tol * bnorm2, jnp.asarray(atol) ** 2)
             return st, b_eq, target2
 
-        @jax.jit
-        def _step(st, dyn, defl, pdyn):
-            _, _, _, _, mv_eq, M, _ = _eq_context(
-                op, bcs, dyn, defl, _pfun, pdyn
-            )
-            return _bicgstab_body(mv_eq, M, tree_dot32, st)
+        split = os.environ.get("PHIFEM_HOST_SPLIT") == "1"
+
+        if split:
+            # two half-iteration programs (one M + one A each): the
+            # fallback when the full-iteration step program is still too
+            # much for the remote compiler
+            @jax.jit
+            def _step_a(st, dyn, defl, pdyn):
+                _, _, _, _, mv_eq, M, _ = _eq_context(
+                    op, bcs, dyn, defl, _pfun, pdyn
+                )
+                return _bicgstab_half_a(mv_eq, M, tree_dot32, st)
+
+            @jax.jit
+            def _step_b(mid, dyn, defl, pdyn):
+                _, _, _, _, mv_eq, M, _ = _eq_context(
+                    op, bcs, dyn, defl, _pfun, pdyn
+                )
+                return _bicgstab_half_b(mv_eq, M, tree_dot32, mid)
+
+            def _step(st, dyn, defl, pdyn):
+                return _step_b(_step_a(st, dyn, defl, pdyn), dyn, defl, pdyn)
+
+        else:
+
+            @jax.jit
+            def _step(st, dyn, defl, pdyn):
+                _, _, _, _, mv_eq, M, _ = _eq_context(
+                    op, bcs, dyn, defl, _pfun, pdyn
+                )
+                return _bicgstab_body(mv_eq, M, tree_dot32, st)
 
         @jax.jit
         def _chk(st, target2):
