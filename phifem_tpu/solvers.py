@@ -546,18 +546,42 @@ def _eq_context(op, bcs, dyn, defl, pfun, pdyn):
             q = jax.tree.map(lambda qi: qi / jnp.maximum(nrm, 1e-300), q)
             ortho.append(q)
 
+        # The projections run on STACKED flat vectors: per application,
+        # tree-mapped per-mode dots cost (num_modes x num_fields) separate
+        # full-length f64 REDUCTIONS — ~150 per Krylov iteration for S5's
+        # 3 modes x 5 fields x ~10 projection applications — and f64
+        # reductions are pathologically slow on v5e (CLAUDE.md: ~30x
+        # f32).  Two (k, n) matmuls per projection keep full precision at
+        # a tiny fraction of the cost (measured: the on-device S5 solve
+        # was ~620 ms/iteration at 59k DoF before this).
+        names_d = sorted(defl[0])
+        shapes_d = [defl[0][k].shape for k in names_d]
+        sizes_d = [int(np.prod(sh)) for sh in shapes_d]
+
+        def _fl(t):
+            return jnp.concatenate([t[k].reshape(-1) for k in names_d])
+
+        def _unfl(vf):
+            out, cur = {}, 0
+            for k, sh, sz in zip(names_d, shapes_d, sizes_d):
+                out[k] = vf[cur : cur + sz].reshape(sh)
+                cur += sz
+            return out
+
+        Qm = jnp.stack([_fl(o) for o in ortho])  # (k, n_flat)
+
         def proj(v):
-            for o in ortho:
-                v = tree_axpy(-tree_dot(o, v), o, v)
-            return v
+            vf = _fl(v)
+            return _unfl(vf - Qm.T @ (Qm @ vf))
 
         mv_plain, M_plain = mv_eq, M
 
         def mv_eq(y):
-            z = proj(mv_plain(proj(y)))
-            for o in ortho:  # identity on the deflated span
-                z = tree_axpy(tree_dot(o, y), o, z)
-            return z
+            yf = _fl(y)
+            c = Qm @ yf
+            z = proj(mv_plain(_unfl(yf - Qm.T @ c)))
+            # identity on the deflated span
+            return _unfl(_fl(z) + Qm.T @ c)
 
         M = lambda r: proj(M_plain(proj(r)))
     return matvec, active, dsqrt, dinv_sqrt, mv_eq, M, proj
