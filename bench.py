@@ -460,14 +460,16 @@ def bench_s5_iter(n: int) -> dict:
     t_setup = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    pc = s.lattice_preconditioner(coupled=False)
+    # dense band inverse: at bench sizes the cut block (m ~ 4.5k at n=64,
+    # 9k at n=128) fits a dense m x m f32 inverse, and ONE MXU matmul per
+    # application replaces ~50 latency-bound inner Krylov sweeps — the
+    # band solve measured 260 ms/application with the Schwarz inner loop
+    # on this backend (scripts/probe_s5_parts.py) vs ~1 ms dense
+    pc = s.lattice_preconditioner(coupled=False, dense_max=20000)
     t_pc = time.perf_counter() - t0
 
     tol = float(os.environ.get("PHIFEM_BENCH_TOL", "1e-8"))
-    kw = dict(
-        method="bicgstab", tol=tol, maxiter=200, precond=pc,
-        host_loop=True, check_every=10,
-    )
+    kw = dict(method="bicgstab", tol=tol, maxiter=200, precond=pc)
     r0, t_cold = _t(s.solve, **kw)
     r, t_solve = _t(s.solve, **kw)
     ndofs = s.system.num_dofs

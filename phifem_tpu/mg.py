@@ -986,7 +986,13 @@ def attach_interface_solve(
         A_II[dz, dz] = 1.0
         shift = 1e-12 * np.abs(np.diag(A_II)).max()
         A_II[np.diag_indices_from(A_II)] += shift
-        vc.interface_inv = jnp.asarray(np.linalg.inv(A_II))
+        # store in the cycle's compute dtype: _apply casts per
+        # application otherwise, and at TPU-relevant band sizes (m ~ 9k
+        # at S5 n=128) the f64->f32 cast of the m x m inverse costs more
+        # than the matmul itself
+        vc.interface_inv = jnp.asarray(
+            np.linalg.inv(A_II), vc.dtype or np.float64
+        )
         vc.interface_ids = jnp.asarray(ids)
         vc._version += 1
         return vc
@@ -1043,7 +1049,7 @@ def attach_interface_solve(
     inv = np.linalg.inv(mats)
     # blocks/ownership stay in COMPACT band index space (pad slot = total)
     vc.schwarz_ids = jnp.asarray(bids)
-    vc.schwarz_inv = jnp.asarray(inv)
+    vc.schwarz_inv = jnp.asarray(inv, vc.dtype or np.float64)
     vc.schwarz_own = jnp.asarray(own)
     # inner-iteration demand grows slowly with band size (measured: 10 at
     # m~3k, 20 at m~12k for the S1 scalar block) — scale ~sqrt(m) unless
@@ -1068,7 +1074,7 @@ def attach_interface_solve(
     vals[zr, 0] = 1.0
     vc.band_ids = jnp.asarray(ids)
     vc.band_ell_cols = jnp.asarray(cols, jnp.int32)
-    vc.band_ell_vals = jnp.asarray(vals)
+    vc.band_ell_vals = jnp.asarray(vals, vc.dtype or np.float64)
     vc._version += 1
     return vc
 

@@ -165,7 +165,25 @@ class TapOperator:
 
         ``W`` optionally overrides the weight buffer — pass it as a traced
         jit argument to get a compiled solver that survives
-        ``reassemble`` (weights change, structure doesn't)."""
+        ``reassemble`` (weights change, structure doesn't).
+
+        Two application forms:
+
+        * per-tap loop (the original): one pad-slice + einsum per tap —
+          bandwidth-optimal but OP-COUNT-bound on small/medium lattices
+          (the 5-field S5 operator has ~600 taps; at ~15 us/op through
+          this backend that measured ~13 ms per matvec at 59k DoF);
+        * dense per-pair form (default when it fits): taps grouped by
+          block pair and stacked over the full (2P+1)^2 offset axis —
+          ONE permutation gather re-lays W into per-pair
+          (noff^2, Ri, Ci, vi, vj) tensors (zeros on absent offsets),
+          then one einsum per block pair against a shared stack of all
+          shifted views.  ~25x fewer ops at ~2 extra passes over W.
+          Gated by PHIFEM_TAPS_DENSE_MAX (elements; default 1.2e8) so
+          10M-DoF-scale operators keep the bandwidth-optimal loop.
+        """
+        import os as _os
+
         P = self.pad
         if W is None:
             W = self.W
@@ -184,24 +202,107 @@ class TapOperator:
         taps, off = self.taps, self.tap_offsets
         shapes, chans = self.blk_shapes, self.blk_ch
 
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for t, (bi, bj, dr, dc) in enumerate(taps):
+            groups.setdefault((bi, bj), []).append(t)
+        noff = 2 * P + 1
+        pair_list = sorted(groups)
+        dense_total = sum(
+            noff * noff * shapes[bi][0] * shapes[bi][1] * chans[bi] * chans[bj]
+            for bi, bj in pair_list
+        )
+        dense_max = int(
+            float(_os.environ.get("PHIFEM_TAPS_DENSE_MAX", "1.2e8"))
+        )
+        use_dense = dense_total <= dense_max
+        if use_dense:
+            nW = int(off[-1])
+            perm = np.full(dense_total, nW, np.int64)
+            dense_off: Dict[Tuple[int, int], int] = {}
+            cur = 0
+            for pair in pair_list:
+                bi, bj = pair
+                Ri, Ci = shapes[bi]
+                sz1 = Ri * Ci * chans[bi] * chans[bj]
+                dense_off[pair] = cur
+                for t in groups[pair]:
+                    _, _, dr, dc = taps[t]
+                    slot = (dr + P) * noff + (dc + P)
+                    perm[cur + slot * sz1 : cur + (slot + 1) * sz1] = (
+                        np.arange(off[t], off[t + 1])
+                    )
+                cur += noff * noff * sz1
+            perm_j = jnp.asarray(
+                perm, jnp.int32 if nW < 2**31 else jnp.int64
+            )
+            offsets = [
+                (dr, dc)
+                for dr in range(-P, P + 1)
+                for dc in range(-P, P + 1)
+            ]
+
         def matvec(x: Dict[str, Array]) -> Dict[str, Array]:
             if dtype is not None:
                 x = {k: v.astype(dtype) for k, v in x.items()}
             blocks = self._decompose(x)
             padded: List[Optional[Array]] = [None] * len(blocks)
             y: List[Optional[Array]] = [None] * len(blocks)
-            for t, (bi, bj, dr, dc) in enumerate(taps):
-                Ri, Ci = shapes[bi]
-                vi, vj = chans[bi], chans[bj]
-                if padded[bj] is None:
-                    padded[bj] = jnp.pad(blocks[bj], ((P, P), (P, P), (0, 0)))
-                xs = padded[bj][P + dr : P + dr + Ri, P + dc : P + dc + Ci, :]
-                w = W[off[t] : off[t + 1]].reshape(Ri, Ci, vi, vj)
-                if vi == 1 and vj == 1:
-                    part = w[:, :, 0, :] * xs
-                else:
-                    part = jnp.einsum("rcij,rcj->rci", w, xs)
-                y[bi] = part if y[bi] is None else y[bi] + part
+            if use_dense:
+                Wd = jnp.concatenate([W, jnp.zeros(1, W.dtype)])[perm_j]
+                # one extra pad ring vs the per-tap loop: the dense form
+                # slices ALL (2P+1)^2 offsets for every (source, target-
+                # shape) combination, including offsets no tap uses, and
+                # a P1 target lattice is one row/col larger than a DG0
+                # source — without the ring those slices would clamp
+                # short (absent-offset weights are zero, so the ring's
+                # content never contributes)
+                P2 = P + 1
+                xs_cache: Dict[Tuple[int, int, int], Array] = {}
+                for pair in pair_list:
+                    bi, bj = pair
+                    Ri, Ci = shapes[bi]
+                    vi, vj = chans[bi], chans[bj]
+                    key = (bj, Ri, Ci)
+                    if padded[bj] is None:
+                        padded[bj] = jnp.pad(
+                            blocks[bj], ((P2, P2), (P2, P2), (0, 0))
+                        )
+                    if key not in xs_cache:
+                        xs_cache[key] = jnp.stack(
+                            [
+                                padded[bj][
+                                    P2 + dr : P2 + dr + Ri,
+                                    P2 + dc : P2 + dc + Ci,
+                                    :,
+                                ]
+                                for dr, dc in offsets
+                            ]
+                        )  # (noff^2, Ri, Ci, vj)
+                    o0 = dense_off[pair]
+                    Wp = Wd[
+                        o0 : o0 + noff * noff * Ri * Ci * vi * vj
+                    ].reshape(noff * noff, Ri, Ci, vi, vj)
+                    part = jnp.einsum(
+                        "trcij,trcj->rci", Wp, xs_cache[key]
+                    )
+                    y[bi] = part if y[bi] is None else y[bi] + part
+            else:
+                for t, (bi, bj, dr, dc) in enumerate(taps):
+                    Ri, Ci = shapes[bi]
+                    vi, vj = chans[bi], chans[bj]
+                    if padded[bj] is None:
+                        padded[bj] = jnp.pad(
+                            blocks[bj], ((P, P), (P, P), (0, 0))
+                        )
+                    xs = padded[bj][
+                        P + dr : P + dr + Ri, P + dc : P + dc + Ci, :
+                    ]
+                    w = W[off[t] : off[t + 1]].reshape(Ri, Ci, vi, vj)
+                    if vi == 1 and vj == 1:
+                        part = w[:, :, 0, :] * xs
+                    else:
+                        part = jnp.einsum("rcij,rcj->rci", w, xs)
+                    y[bi] = part if y[bi] is None else y[bi] + part
             for i in range(len(y)):
                 if y[i] is None:
                     y[i] = jnp.zeros(shapes[i] + (chans[i],), W.dtype)
