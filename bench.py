@@ -468,8 +468,12 @@ def bench_s5_iter(n: int) -> dict:
     pc = s.lattice_preconditioner(coupled=False, dense_max=20000)
     t_pc = time.perf_counter() - t0
 
-    tol = float(os.environ.get("PHIFEM_BENCH_TOL", "1e-8"))
-    kw = dict(method="bicgstab", tol=tol, maxiter=200, precond=pc)
+    # tol/maxiter are baked into the compiled program (cache key AND
+    # loop constants): keep them EXACTLY in sync with
+    # scripts/probe_s5_fused usage so bench runs hit the server-side
+    # compile cache instead of paying the ~20-40 min fresh compile
+    tol = float(os.environ.get("PHIFEM_BENCH_S5I_TOL", "1e-10"))
+    kw = dict(method="bicgstab", tol=tol, maxiter=100, precond=pc)
     r0, t_cold = _t(s.solve, **kw)
     r, t_solve = _t(s.solve, **kw)
     ndofs = s.system.num_dofs

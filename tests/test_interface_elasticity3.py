@@ -10,6 +10,7 @@ term f = -div sigma_in(cos_vec)/E_in."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from phifem_tpu.grid3 import Grid3
 from phifem_tpu.models import InterfaceElasticity3
@@ -115,3 +116,26 @@ def test_interface_elasticity3_contrast1000():
     assert r2.converged, (r2.residual, r2.iterations)
     e2 = s2.l2_h1_errors(exact)
     assert abs(e2["l2"] - e["l2"]) / e["l2"] < 0.05, (e, e2)
+
+
+@pytest.mark.slow
+def test_s53d_harmonic_coarse_iterations():
+    """Round-5 solid-harmonic coarse space regression: contrast-1000
+    outer iterations stay flat under refinement (measured 40 at n=12 AND
+    n=16 with the per-side r^l Y_lm space, vs 100 at n=16 with the
+    round-4 rigid+monomial space — docs/s53d_convergence.md).  Cap has
+    ~35% headroom for BiCGStab/FGMRES summation-order wobble."""
+    E_in, E_out = 1.0, 0.001
+    exact, source = make_data(E_in, E_out)
+    s = InterfaceElasticity3(Grid3(12, 12, 12, BOX), E_in=E_in, E_out=E_out)
+    s.setup(phi_sphere, source, exact)
+    s.assemble()
+    pc = s.lattice_preconditioner()
+    r = s.solve(
+        method="fgmres", tol=1e-8, maxiter=2000, precond=pc,
+        deflate=s.rigid_modes(),
+    )
+    assert r.converged, (r.residual, r.iterations)
+    assert r.iterations <= 55, r.iterations
+    e = s.l2_h1_errors(exact)
+    assert e["l2"] < 0.5, e
