@@ -468,12 +468,19 @@ def bench_s5_iter(n: int) -> dict:
     pc = s.lattice_preconditioner(coupled=False, dense_max=20000)
     t_pc = time.perf_counter() - t0
 
-    # tol/maxiter are baked into the compiled program (cache key AND
-    # loop constants): keep them EXACTLY in sync with
-    # scripts/probe_s5_fused usage so bench runs hit the server-side
-    # compile cache instead of paying the ~20-40 min fresh compile
+    # host-driven loop with SPLIT half-iteration programs: the smallest
+    # compiled units (the fused while_loop graph with the dense taps was
+    # OOM-killed by the remote compile service; the full-step host
+    # program compiled but at ~45+ min).  tol/maxiter/check_every are
+    # baked into the compiled programs (cache keys AND loop constants):
+    # keep them EXACTLY in sync with scripts' probe usage so bench runs
+    # hit the server-side compile cache.
+    os.environ.setdefault("PHIFEM_HOST_SPLIT", "1")
     tol = float(os.environ.get("PHIFEM_BENCH_S5I_TOL", "1e-10"))
-    kw = dict(method="bicgstab", tol=tol, maxiter=100, precond=pc)
+    kw = dict(
+        method="bicgstab", tol=tol, maxiter=100, precond=pc,
+        host_loop=True, check_every=10,
+    )
     r0, t_cold = _t(s.solve, **kw)
     r, t_solve = _t(s.solve, **kw)
     ndofs = s.system.num_dofs
@@ -657,8 +664,11 @@ def main():
         "dtype": "float64" if os.environ["PHIFEM_X64"] == "1" else "float32",
     }
 
+    # s5_iter (the on-device iterative S5 — round-5's headline addition)
+    # runs BEFORE the sparse-direct s5 section so the global budget
+    # cannot starve it
     order = [
-        "poisson_mg", "s1", "reassemble_large", "poisson3d", "s5", "s5_iter"
+        "poisson_mg", "s1", "reassemble_large", "poisson3d", "s5_iter", "s5"
     ]
     if os.environ.get("PHIFEM_BENCH_S53D") == "1":
         order.append("s5_3d")
