@@ -24,7 +24,9 @@ def _run(rel, *args):
         [sys.executable, os.path.join(REPO, rel), *args],
         capture_output=True,
         text=True,
-        timeout=900,
+        # 1800: a demo CLI can share the 1-CPU box with long study jobs
+        # (a 900s cap flaked under 4-way contention in round 5)
+        timeout=1800,
         env=env,
         cwd=REPO,
     )
