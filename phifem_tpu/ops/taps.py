@@ -216,22 +216,34 @@ class TapOperator:
         )
         use_dense = dense_total <= dense_max
         if use_dense:
+            # dense per-pair layout (Ri, Ci, vi, noff^2 * vj): the offset
+            # axis is FOLDED INTO THE CONTRACTION so the application is
+            # the same per-position small matmul einsum as the per-tap
+            # loop ("rcik,rck->rci") — a 5-D (t, r, c, i, j) batched
+            # form was tried first and made the remote TPU compile
+            # helper blow its memory (SIGKILL) on the S5 operator
             nW = int(off[-1])
+            noff2 = noff * noff
             perm = np.full(dense_total, nW, np.int64)
             dense_off: Dict[Tuple[int, int], int] = {}
             cur = 0
             for pair in pair_list:
                 bi, bj = pair
                 Ri, Ci = shapes[bi]
-                sz1 = Ri * Ci * chans[bi] * chans[bj]
+                vi, vj = chans[bi], chans[bj]
                 dense_off[pair] = cur
+                r = np.arange(Ri)[:, None, None, None]
+                c = np.arange(Ci)[None, :, None, None]
+                ki = np.arange(vi)[None, None, :, None]
+                kj = np.arange(vj)[None, None, None, :]
+                rcki = ((r * Ci + c) * vi + ki)
                 for t in groups[pair]:
                     _, _, dr, dc = taps[t]
                     slot = (dr + P) * noff + (dc + P)
-                    perm[cur + slot * sz1 : cur + (slot + 1) * sz1] = (
-                        np.arange(off[t], off[t + 1])
-                    )
-                cur += noff * noff * sz1
+                    dense_idx = (rcki * noff2 + slot) * vj + kj
+                    w_idx = off[t] + rcki * vj + kj
+                    perm[cur + dense_idx.reshape(-1)] = w_idx.reshape(-1)
+                cur += noff2 * Ri * Ci * vi * vj
             perm_j = jnp.asarray(
                 perm, jnp.int32 if nW < 2**31 else jnp.int64
             )
@@ -267,6 +279,8 @@ class TapOperator:
                         padded[bj] = jnp.pad(
                             blocks[bj], ((P2, P2), (P2, P2), (0, 0))
                         )
+                    # xs: (Ri, Ci, noff^2 * vj) — offsets stacked into
+                    # the contraction axis (see perm layout note above)
                     if key not in xs_cache:
                         xs_cache[key] = jnp.stack(
                             [
@@ -276,14 +290,15 @@ class TapOperator:
                                     :,
                                 ]
                                 for dr, dc in offsets
-                            ]
-                        )  # (noff^2, Ri, Ci, vj)
+                            ],
+                            axis=2,
+                        ).reshape(Ri, Ci, noff * noff * vj)
                     o0 = dense_off[pair]
                     Wp = Wd[
                         o0 : o0 + noff * noff * Ri * Ci * vi * vj
-                    ].reshape(noff * noff, Ri, Ci, vi, vj)
+                    ].reshape(Ri, Ci, vi, noff * noff * vj)
                     part = jnp.einsum(
-                        "trcij,trcj->rci", Wp, xs_cache[key]
+                        "rcik,rck->rci", Wp, xs_cache[key]
                     )
                     y[bi] = part if y[bi] is None else y[bi] + part
             else:
